@@ -1,0 +1,93 @@
+"""Pipeline configuration.
+
+The reference's "query language" is its options object
+(/root/reference/src/types.ts:13-31, normalised at src/index.ts:26-35).
+``QualityFilterConfig`` maps that surface 1:1 and adds the graft's
+quality-filter / scrub / langid knobs (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class QualityFilterConfig:
+    # ---- reference option surface (src/types.ts:13-31) ----
+    # opts.childLanguages (src/index.ts:206): keep TSX instead of TypeScript
+    child_languages: bool = False
+    # opts.quick fans out to these flags (src/index.ts:26-35)
+    quick: bool = False
+    check_ignored: bool = True
+    check_detected: bool = True
+    check_heuristics: bool = True
+    check_shebang: bool = True
+    check_modeline: bool = True
+    # opts.keepVendored / keepBinary (src/index.ts:141,159)
+    keep_vendored: bool = False
+    keep_binary: bool = False
+    # opts.calculateLines (src/index.ts:27)
+    calculate_lines: bool = True
+    # opts.categories (src/index.ts:377): subset of data/markup/programming/prose
+    categories: tuple[str, ...] = ("data", "markup", "programming", "prose")
+    # opts.ignoredLanguages (src/index.ts:172)
+    ignored_languages: tuple[str, ...] = ()
+    # opts.ignoredFiles globs (src/index.ts:69)
+    ignored_globs: tuple[str, ...] = ()
+
+    # ---- graft additions (BASELINE.json north_star) ----
+    # Gopher/C4-style quality keep/drop rules over web text. The reference has
+    # no quality rules, so parity tests run with this off.
+    quality_rules: bool = True
+    min_words: int = 5
+    max_words: int = 1_000_000
+    min_mean_word_len: float = 2.0
+    max_mean_word_len: float = 12.0
+    max_symbol_ratio: float = 0.25
+    max_dup_line_ratio: float = 0.6
+    min_stopword_hits: int = 0
+    # Perplexity gate (KenLM-style char-bigram model; higher = more gibberish)
+    max_perplexity: float = 1e9
+    # fastText-style langid fallback for documents with no structural signal
+    langid_fallback: bool = True
+    fasttext_model_path: str | None = None
+    # PII / toxicity scrub
+    scrub_pii: bool = True
+    toxicity_filter: bool = True
+    toxicity_max_ratio: float = 0.1
+
+    # ---- scale knobs ----
+    # Explicit repartition by xxhash64(url) before heavy UDF stages
+    # (north-rule requirement; balances crawl-order skew). <=0 disables.
+    repartition_buckets: int = 0
+    # Salt buckets for the head-language rollup key (0 = rely on Spark's
+    # partial aggregation, which already does map-side combine).
+    rollup_salt_buckets: int = 0
+
+    def effective_flags(self) -> "QualityFilterConfig":
+        """Apply quick-mode fan-out like src/index.ts:26-35."""
+        if not self.quick:
+            return self
+        return QualityFilterConfig(
+            **{
+                **self.__dict__,
+                "check_ignored": False,
+                "check_detected": False,
+                "check_heuristics": False,
+                "check_shebang": False,
+                "check_modeline": False,
+            }
+        )
+
+
+DEFAULT_CONFIG = QualityFilterConfig()
+
+# Config used by the reference-parity tests: reference semantics only, no
+# graft-side quality/scrub stages, child languages kept like test/unit.js:11.
+REFERENCE_PARITY_CONFIG = QualityFilterConfig(
+    child_languages=True,
+    quality_rules=False,
+    langid_fallback=False,
+    scrub_pii=False,
+    toxicity_filter=False,
+)
