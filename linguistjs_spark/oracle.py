@@ -368,8 +368,10 @@ def narrow(
 
 # Shared with the Spark-native expressions in operators/quality.py — the
 # patterns below are legal and identical in Java regex and Python re.
+# NB: \v is written as \x0B because Java regex treats \v inside a class as the
+# vertical-whitespace CLASS (incl. \n,  ) while Python means \x0B only.
 LINE_SPLIT_PAT = r"\r?\n"
-BLANK_LINE_PAT = r"^[ \t\f\v\r]*$"
+BLANK_LINE_PAT = r"^[ \t\f\x0B\r]*$"
 LINE_COMMENT_PAT = r"(?m)^[ \t]*(//|# |;|--).+"
 BLOCK_COMMENT_PAT = r"(?s)/\*.+\*/|<!--.+-->"
 
@@ -393,7 +395,7 @@ def line_metrics(text: str) -> tuple[int, int, int]:
 # graft: Gopher/C4-style quality rules
 # --------------------------------------------------------------------------
 
-WORD_SPLIT_PAT = r"[ \t\r\n\f\v]+"
+WORD_SPLIT_PAT = r"[ \t\r\n\f\x0B]+"
 SYMBOL_PAT = r"[#<>{}\[\]\\^~|]"
 
 _WORD_SPLIT_RE = re.compile(WORD_SPLIT_PAT)

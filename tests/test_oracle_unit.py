@@ -1,0 +1,140 @@
+"""The reference's 30 unit tests (/root/reference/test/unit.js:29-87) replayed
+against the pure-Python oracle — the seed of the golden fixture table
+(FIXTURES.md §1)."""
+
+import pytest
+
+from linguistjs_spark.config import REFERENCE_PARITY_CONFIG as CFG
+from linguistjs_spark.oracle import analyse_document
+from linguistjs_spark.sources.pages import SEED_OVERRIDES
+
+
+def lang_of(path, text=""):
+    r = analyse_document("https://crawl.example/" + path, text, cfg=CFG)
+    if not r.keep:
+        return "DROP:" + r.keep_reason
+    return r.lang
+
+
+# (path, text, expected) — unit.js:35-80
+CASES = [
+    ("x.js", "", "JavaScript"),
+    ("x.cpp", "", "C++"),
+    ("x.c", "", "C"),
+    ("x.R", "", "R"),
+    ("Dockerfile", "FROM node", "Dockerfile"),
+    ("CMakeLists.txt", "project(x)", "CMake"),
+    ("tsconfig.json", "{}", "JSON with Comments"),
+    ("index.tsx", "<App/>", "TSX"),
+    ("file.antlers.php", "{{ x }}", "Antlers"),
+    ("file.other.php", "<?php?>", "PHP"),
+    ("node_js", "#!/usr/bin/env node", "JavaScript"),
+    ("rake_ruby", "#!/usr/bin/env rake", "Ruby"),
+    ("sh_shell", "#!/bin/sh", "Shell"),
+    ("emacs_cpp", "# -*- mode:c++ -*-", "C++"),
+    ("emacs_cs", "# -*- c# -*-", "C#"),
+    ("vim_sh", "# vim: filetype=sh", "Shell"),
+    ("vim_ruby", "# vim: syntax = ruby", "Ruby"),
+    ("XCompose", "# for Emacs: -*- coding: utf-8 -*-", "XCompose"),
+    ("c-sharp.cs", "namespace example {} // empty", "C#"),
+    ("smalltalk.cs", "!interface methodsFor: instance", "Smalltalk"),
+    ("eclipse.ecl", "var:-val", "ECLiPSe"),
+    ("ecl.ecl", "var:=val", "ECL"),
+    ("frege.fr", "import package", "Frege"),
+    ("forth.fr", "new-device 1", "Forth"),
+    ("raku", "#!/usr/bin/env perl6\n module", "Raku"),
+    ("unknown", "Unknown", None),
+]
+
+DROPS = [
+    ("gradlew", "vendored"),
+    ("decl.d.ts", "vendored"),
+    ("deps/file.c", "vendored"),
+    ("node_modules/file.js", "vendored"),
+    ("file.Feature.cs", "generated"),
+    ("package-lock.json", "generated"),
+    ("Pipfile.lock", "generated"),
+    ("README.md", "documentation"),
+    ("docs/demo.js", "documentation"),
+    ("samples/head.h", "documentation"),
+]
+
+
+@pytest.mark.parametrize("path,text,expected", CASES)
+def test_unit_lang(path, text, expected):
+    assert lang_of(path, text) == expected
+
+
+@pytest.mark.parametrize("path,reason", DROPS)
+def test_unit_drop(path, reason):
+    assert lang_of(path) == "DROP:" + reason
+
+
+def test_metadata_size():
+    # unit.js:31-33: raw-content size == string length (ASCII)
+    r = analyse_document("https://x/file_size", "0123456789", cfg=CFG)
+    assert r.bytes == 10
+    r = analyse_document("https://x/empty", "", cfg=CFG)
+    assert r.bytes == 0
+
+
+def test_dot_m_alternatives():
+    # unit.js:40: '.m' has exactly one alternative
+    r = analyse_document("https://x/.m", "", cfg=CFG)
+    assert r.lang == "MATLAB" and r.alternatives == ["Objective-C"]
+
+
+def test_asc_alternatives():
+    # expected.json:9,21 analog (FIXTURES.md)
+    r = analyse_document("https://x/alternatives.asc", "Alternatives", cfg=CFG)
+    assert r.lang == "AGS Script"
+    assert r.alternatives == ["AsciiDoc", "Public Key"]
+
+
+def test_group_collapse_default():
+    # src/index.ts:206: TSX -> TypeScript without childLanguages
+    from linguistjs_spark.config import QualityFilterConfig
+
+    cfg = QualityFilterConfig(quality_rules=False, scrub_pii=False,
+                              toxicity_filter=False, langid_fallback=False)
+    r = analyse_document("https://x/index.tsx", "<App/>", cfg=cfg)
+    assert r.lang == "TypeScript"
+
+
+def test_override_forced_language_alias():
+    # FIXTURES.md §2: file.txt linguist-language=JS -> JavaScript, definite
+    r = analyse_document(
+        "https://x/file.txt", "anything", cfg=CFG, overrides=SEED_OVERRIDES
+    )
+    assert r.lang == "JavaScript" and r.definite
+
+
+def test_override_vendored_true_and_generated_false():
+    r = analyse_document(
+        "https://x/vendored", "var x;", cfg=CFG, overrides=SEED_OVERRIDES
+    )
+    assert not r.keep and r.keep_reason == "vendored"
+    r = analyse_document(
+        "https://x/package-lock.json", "{}", cfg=CFG, overrides=SEED_OVERRIDES
+    )
+    assert r.keep and r.lang == "JSON"
+
+
+def test_line_metrics_golden():
+    from linguistjs_spark.oracle import line_metrics
+    from linguistjs_spark.sources.pages import SEED_CASES
+
+    loc_c = dict(SEED_CASES)["loc.c"]
+    total, content, code = line_metrics(loc_c)
+    assert total == 10
+    assert content == 8
+    assert code == 4
+
+
+def test_binary_sniff():
+    r = analyse_document(
+        "https://x/sniffme", "data", html=b"PK\x03\x04\x00\x00", cfg=CFG
+    )
+    assert not r.keep and r.keep_reason == "binary-content"
+    r = analyse_document("https://x/image.png", "", html=b"\x89PNG\x00", cfg=CFG)
+    assert not r.keep and r.keep_reason == "binary-ext"

@@ -1,0 +1,115 @@
+"""Distributed-pipeline vs pure-Python-oracle parity on the fixture table.
+
+This is the BASELINE.json correctness gate: keep/drop F1 >= 0.99 vs the
+reference semantics (we assert exact agreement, which is stronger) and
+byte-identical scrubbed text per url."""
+
+import pytest
+
+from linguistjs_spark.config import (
+    DEFAULT_CONFIG,
+    REFERENCE_PARITY_CONFIG,
+    QualityFilterConfig,
+)
+from linguistjs_spark.oracle import analyse_document
+from linguistjs_spark.pipeline import run_pipeline
+from linguistjs_spark.sources.pages import SEED_OVERRIDES, generate_pages, pages_df
+
+
+def _oracle_results(rows, cfg, overrides):
+    out = {}
+    for url, _ts, html, text, _lang in rows:
+        out[url] = analyse_document(url, text, html=html, cfg=cfg, overrides=overrides)
+    return out
+
+
+def _compare(spark, cfg, overrides, n_bulk=200):
+    rows = generate_pages(n_bulk=n_bulk)
+    expected = _oracle_results(rows, cfg, overrides)
+    df = pages_df(spark, n_bulk=n_bulk)
+    got = {
+        r["url"]: r
+        for r in run_pipeline(spark, df, cfg, overrides=overrides).collect()
+    }
+    assert set(got) == set(expected)
+
+    mismatches = []
+    for url, exp in expected.items():
+        g = got[url]
+        if (g["keep"], g["keep_reason"]) != (exp.keep, exp.keep_reason):
+            mismatches.append(
+                (url, "keep", (g["keep"], g["keep_reason"]), (exp.keep, exp.keep_reason))
+            )
+            continue
+        if exp.keep:
+            if g["lang"] != exp.lang:
+                mismatches.append((url, "lang", g["lang"], exp.lang))
+            if list(g["alternatives"] or []) != exp.alternatives:
+                mismatches.append((url, "alts", g["alternatives"], exp.alternatives))
+            if g["scrubbed_text"] != exp.scrubbed_text:
+                mismatches.append(
+                    (url, "scrub", g["scrubbed_text"], exp.scrubbed_text)
+                )
+            if (g["bytes"], g["lines"]["total"], g["lines"]["content"], g["lines"]["code"]) != (
+                exp.bytes, exp.lines_total, exp.lines_content, exp.lines_code
+            ):
+                mismatches.append((url, "metrics",
+                                   (g["bytes"], tuple(g["lines"])),
+                                   (exp.bytes, exp.lines_total, exp.lines_content, exp.lines_code)))
+            if g["nl_lang"] != exp.nl_lang:
+                mismatches.append((url, "nl_lang", g["nl_lang"], exp.nl_lang))
+    assert not mismatches, f"{len(mismatches)} mismatches, first 10: {mismatches[:10]}"
+
+
+def test_parity_reference_config(spark):
+    _compare(spark, REFERENCE_PARITY_CONFIG, SEED_OVERRIDES)
+
+
+def test_parity_default_config(spark):
+    _compare(spark, DEFAULT_CONFIG, SEED_OVERRIDES)
+
+
+def test_parity_category_filter(spark):
+    cfg = QualityFilterConfig(
+        child_languages=True,
+        categories=("programming", "markup"),
+        quality_rules=False,
+        langid_fallback=False,
+        scrub_pii=False,
+        toxicity_filter=False,
+    )
+    _compare(spark, cfg, SEED_OVERRIDES, n_bulk=60)
+
+
+def test_parity_quick_mode(spark):
+    cfg = QualityFilterConfig(
+        quick=True, quality_rules=False, langid_fallback=False,
+        scrub_pii=False, toxicity_filter=False,
+    )
+    _compare(spark, cfg, SEED_OVERRIDES, n_bulk=60)
+
+
+def test_scrub_byte_identity(spark):
+    """The north-star contract in isolation: golden byte comparison."""
+    from linguistjs_spark.oracle import scrub_text
+
+    text = (
+        "contact me: a.b@example.com +1 (555) 013-7777 or at 10.0.0.1 "
+        "ssn 123-45-6789 card 4111 1111 1111 1111 done"
+    )
+    golden = scrub_text(text)
+    assert "<EMAIL>" in golden and "<IP>" in golden and "<SSN>" in golden
+    assert "<CC>" in golden and "<PHONE>" in golden
+
+    rows = generate_pages(n_bulk=300)
+    df = pages_df(spark, n_bulk=300)
+    out = run_pipeline(spark, df, DEFAULT_CONFIG, overrides=SEED_OVERRIDES)
+    got = {r["url"]: r["scrubbed_text"] for r in out.filter("keep").collect()}
+    checked = 0
+    for url, _ts, html, text, _l in rows:
+        if url in got:
+            exp = analyse_document(url, text, html=html, cfg=DEFAULT_CONFIG,
+                                   overrides=SEED_OVERRIDES)
+            assert got[url].encode("utf-8") == exp.scrubbed_text.encode("utf-8"), url
+            checked += 1
+    assert checked > 50
