@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query — the full quality-filter pipeline over a
+  pages-shaped table derived from sf0.001 documents + the fixture seed rows,
+  rolled up per language (the reference's headline output,
+  /root/reference/readme.md:69-103).
+- ``queries()``: one entry per implemented operator family (SURVEY.md §2 +
+  graft training-data ops).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible query.
+  Column names/aliases match the Spark side exactly; float-valued outputs are
+  avoided or reduced to engine-exact arithmetic (single IEEE ops / integer
+  casts) so the order-insensitive value-hash comparison is stable.
 """
 
 from __future__ import annotations
@@ -12,27 +17,415 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linguistjs_spark.config import QualityFilterConfig
+from linguistjs_spark.oracle import (
+    BLANK_LINE_PAT,
+    LINE_SPLIT_PAT,
+    WORD_SPLIT_PAT,
+)
+from linguistjs_spark.pipeline import run_pipeline
+from linguistjs_spark.sources.pages import pages_df, pages_from_documents
+from linguistjs_spark.operators import rollup as R
+from linguistjs_spark.operators import text_stats as TS
+from linguistjs_spark.operators import dedup as DD
+from linguistjs_spark.operators import similarity as SIM
+from linguistjs_spark.operators.quality import quality_drop_reason_col, quality_struct
+from linguistjs_spark.operators.scrub import scrubbed_col
+from linguistjs_spark.operators.multimodal import extract_media_features, synthetic_media_df
+
+# pipeline config used for oracle-checked cascade queries: pure reference
+# semantics, graft stages off (they are oracle-checked separately)
+_CASCADE_CFG = QualityFilterConfig(
+    quality_rules=False, langid_fallback=False, scrub_pii=False, toxicity_filter=False
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    pages = pages_from_documents(spark, sf_dir).unionByName(
+        pages_df(spark, n_bulk=100)
+    )
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    return R.sorted_by_bytes(R.language_rollup(labels))
+
+
+# ---------------------------------------------------------------------------
+# queries — each returns a DataFrame; aliases match oracle_sql exactly
+# ---------------------------------------------------------------------------
+
+
+def q_lang_bytes_rollup(spark, sf_dir):
+    # A3: per-language rollup over the raw documents table
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.octet_length("text")).cast("long").alias("bytes"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def q_line_metrics_totals(spark, sf_dir):
+    # A2+A5: global line metrics
+    t = F.col("text")
+    lines = F.split(t, LINE_SPLIT_PAT)
+    nonblank = F.filter(lines, lambda x: ~x.rlike(BLANK_LINE_PAT))
+    return _docs(spark, sf_dir).agg(
+        F.sum(F.size(lines)).cast("long").alias("lines_total"),
+        F.sum(F.size(nonblank)).cast("long").alias("lines_content"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_quality_keep_by_lang(spark, sf_dir):
+    # Gopher/C4 rule engine cross-check: per-lang kept/dropped counts
+    cfg = QualityFilterConfig()
+    d = _docs(spark, sf_dir).withColumn("quality", quality_struct(F.col("text")))
+    d = d.withColumn("reason", quality_drop_reason_col(F.col("quality"), cfg))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("reason").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum(F.when(F.col("reason") == "quality-words", 1).otherwise(0))
+        .cast("long")
+        .alias("n_drop_words"),
+    )
+
+
+def q_scrub_pii(spark, sf_dir):
+    # byte-identical scrub across engines (sampled rows)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", scrubbed_col(F.col("text")).alias("scrubbed"))
+    )
+
+
+def q_token_count_by_source(spark, sf_dir):
+    t = F.col("text")
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.sum(TS.token_count_col(t)).cast("long").alias("n_tokens"),
+            F.sum(TS.bpe_token_count_col(t)).cast("long").alias("n_bpe_tokens"),
+            F.sum(F.octet_length(t)).cast("long").alias("bytes"),
+        )
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
+
+
+def q_cascade_extmap(spark, sf_dir):
+    # The classification cascade itself, cross-checked against an independent
+    # SQL restatement: pages derived from documents, full pipeline, per-lang
+    # rollup. Covers C4-C9 ext-map, complex-ext, heuristics, group collapse.
+    pages = pages_from_documents(spark, sf_dir)
+    labels = run_pipeline(spark, pages, _CASCADE_CFG)
+    return (
+        labels.filter(F.col("keep"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("bytes").cast("long").alias("bytes"))
+    )
+
+
+def q_unknown_rollup(spark, sf_dir):
+    # A4: unknown rollup over fixture pages that classify to null
+    pages = pages_from_documents(spark, sf_dir)
+    # strip the ext for doc_id%10==0 rows so they become unknown-by-filename
+    pages = pages.withColumn(
+        "url",
+        F.when(
+            F.col("url").endswith(".txt") & ~F.col("url").endswith(".html.txt"),
+            F.regexp_replace("url", r"\.txt$", ""),
+        ).otherwise(F.col("url")),
+    )
+    labels = run_pipeline(spark, pages, _CASCADE_CFG)
+    return R.unknown_rollup(labels).orderBy("kind", "name")
+
+
+def q_minsize_other(spark, sf_dir):
+    # F6/A6: Other-bucket merge on the per-lang rollup (threshold in bytes)
+    d = q_lang_bytes_rollup(spark, sf_dir)
+    rekeyed = d.withColumn(
+        "lang2",
+        F.when(F.col("bytes") < 40000, F.lit("Other")).otherwise(F.col("lang")),
+    )
+    return rekeyed.groupBy(F.col("lang2").alias("lang")).agg(
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_top_langs(spark, sf_dir):
+    # O1/O2: sort + percent-of-total in integer basis points
+    d = q_lang_bytes_rollup(spark, sf_dir)
+    total = d.agg(F.sum("bytes").alias("_t"))
+    return (
+        d.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "bytes",
+            F.expr("10000 * bytes div _t").cast("long").alias("pct_bp"),
+        )
+        .orderBy(F.desc("bytes"), F.asc("lang"))
+        .limit(5)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    # brute-force cosine top-k; scores rounded to engine-exactness margin
+    emb = _emb(spark, sf_dir)
+    qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0).select(
+        F.explode("embedding")).collect()]
+    top = SIM.brute_force_topk(emb, qvec, k=10)
+    return top.select("vec_id", F.round(F.col("score"), 4).alias("score_r"))
+
+
+def q_events_by_type_day(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+def q_lineitem_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+# ---- rows-only queries (non-SQL-expressible; driver records weaker check) --
+
+
+def q_pipeline_labels(spark, sf_dir):
+    pages = pages_from_documents(spark, sf_dir)
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    return labels.select("url", "keep", "keep_reason", "lang", "nl_lang")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return DD.minhash_dedup_pairs(docs, threshold=0.5).orderBy("a", "b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sims = DD.with_simhash(docs)
+    return DD.simhash_near_pairs(sims, max_hamming=3).orderBy("a", "b")
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = [r[0] for r in emb.filter(F.col("vec_id") == 1).select(
+        F.explode("embedding")).collect()]
+    idx = SIM.with_lsh_buckets(emb, bits=8)
+    return SIM.lsh_topk(idx, qvec, k=10, bits=8, probe_hamming=2).select(
+        "vec_id", F.round(F.col("score"), 4).alias("score_r")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
+        "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lang_bytes_rollup": q_lang_bytes_rollup,
+        "line_metrics_totals": q_line_metrics_totals,
+        "quality_keep_by_lang": q_quality_keep_by_lang,
+        "scrub_pii": q_scrub_pii,
+        "token_count_by_source": q_token_count_by_source,
+        "exact_dedup": q_exact_dedup,
+        "cascade_extmap": q_cascade_extmap,
+        "unknown_rollup": q_unknown_rollup,
+        "minsize_other": q_minsize_other,
+        "top_langs": q_top_langs,
+        "ann_topk": q_ann_topk,
+        "events_by_type_day": q_events_by_type_day,
+        "lineitem_summary": q_lineitem_summary,
+        "pipeline_labels": q_pipeline_labels,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_WORDS = r"list_filter(string_split_regex(text, '[ \t\r\n\f\x0B]+'), x -> x <> '')"
+_LINES = r"string_split_regex(text, '\r?\n')"
+_NONBLANK = (
+    r"list_filter(" + _LINES + r", x -> NOT regexp_matches(x, '^[ \t\f\x0B\r]*$'))"
+)
+
+# quality rule restatement (thresholds from QualityFilterConfig defaults)
+_QUALITY_CTE = f"""
+WITH q AS (
+  SELECT lang, text,
+         len({_WORDS}) AS n_words,
+         CASE WHEN len({_WORDS}) > 0
+              THEN CAST(list_sum(list_transform({_WORDS}, x -> length(x))) AS DOUBLE)
+                   / len({_WORDS})
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[#<>{{}}\\[\\]\\\\^~|]')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS sym_ratio,
+         CASE WHEN len({_NONBLANK}) > 0
+              THEN 1.0 - CAST(len(list_distinct({_NONBLANK})) AS DOUBLE)
+                   / len({_NONBLANK})
+              ELSE 0.0 END AS dup_ratio
+  FROM documents
+)
+"""
+
+_SCRUB_SQL_CHAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text,"
+    " '[A-Za-z0-9][A-Za-z0-9._%+-]*@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b', '<IP>', 'g'),"
+    " '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),"
+    " '\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b', '<CC>', 'g'),"
+    " '\\+?[0-9]{1,3}[ .-]?\\(?[0-9]{2,4}\\)?([ .-]?[0-9]{2,4}){2,4}', '<PHONE>', 'g')"
+)
+
+# ext cycle in pages_from_documents: doc_id % 10 ->
+# txt, html.txt, md, js, py, cs, fr, php, ecl, asc
+_CASCADE_CASE = """
+CASE doc_id % 10
+  WHEN 0 THEN 'Text'
+  WHEN 1 THEN 'Text'
+  WHEN 2 THEN 'Markdown'
+  WHEN 3 THEN 'JavaScript'
+  WHEN 4 THEN 'Python'
+  WHEN 5 THEN 'C#'
+  WHEN 6 THEN CASE WHEN regexp_matches(text, '(?m)^\\s*(import|module|package|data|type)\\s')
+                   THEN 'Frege' ELSE 'Text' END
+  WHEN 7 THEN 'Hack'
+  WHEN 8 THEN 'ECL'
+  ELSE 'AGS Script'
+END
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lang_bytes_rollup": (
+            "SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS bytes, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "line_metrics_totals": (
+            f"SELECT CAST(SUM(len({_LINES})) AS BIGINT) AS lines_total, "
+            f"CAST(SUM(len({_NONBLANK})) AS BIGINT) AS lines_content, "
+            "COUNT(*) AS n_docs FROM documents"
+        ),
+        "quality_keep_by_lang": _QUALITY_CTE
+        + """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN n_words BETWEEN 5 AND 1000000
+                                  AND mean_wl BETWEEN 2.0 AND 12.0
+                                  AND sym_ratio <= 0.25
+                                  AND dup_ratio <= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(CASE WHEN n_words < 5 OR n_words > 1000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_words
+            FROM q GROUP BY lang
+        """,
+        "scrub_pii": (
+            "SELECT doc_id, " + _SCRUB_SQL_CHAIN + " AS scrubbed "
+            "FROM documents WHERE doc_id % 20 = 0"
+        ),
+        "token_count_by_source": (
+            f"SELECT source, CAST(SUM(len({_WORDS})) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens, "
+            "CAST(SUM(strlen(text)) AS BIGINT) AS bytes "
+            "FROM documents GROUP BY source"
+        ),
+        "exact_dedup": (
+            "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique "
+            "FROM documents"
+        ),
+        "cascade_extmap": (
+            "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(strlen(text)) AS BIGINT) AS bytes "
+            f"FROM (SELECT {_CASCADE_CASE} AS lang, text FROM documents) GROUP BY lang"
+        ),
+        "unknown_rollup": (
+            # doc_id%10==0 rows lose their .txt ext -> filename 'docN' unknown;
+            # everything else classifies to a language
+            "SELECT 'filenames' AS kind, 'doc' || CAST(doc_id AS VARCHAR) AS name, "
+            "CAST(strlen(text) AS BIGINT) AS bytes, CAST(1 AS BIGINT) AS n_docs "
+            "FROM documents WHERE doc_id % 10 = 0 ORDER BY kind, name"
+        ),
+        "minsize_other": (
+            "WITH r AS (SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS bytes, "
+            "COUNT(*) AS n_docs FROM documents GROUP BY lang) "
+            "SELECT CASE WHEN bytes < 40000 THEN 'Other' ELSE lang END AS lang, "
+            "CAST(SUM(bytes) AS BIGINT) AS bytes, CAST(SUM(n_docs) AS BIGINT) AS n_docs "
+            "FROM r GROUP BY 1"
+        ),
+        "top_langs": (
+            "WITH r AS (SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS bytes "
+            "FROM documents GROUP BY lang), t AS (SELECT SUM(bytes) AS _t FROM r) "
+            "SELECT lang, bytes, CAST(10000 * bytes // _t AS BIGINT) AS pct_bp "
+            "FROM r, t ORDER BY bytes DESC, lang ASC LIMIT 5"
+        ),
+        "ann_topk": (
+            "SELECT vec_id, ROUND(list_inner_product(embedding::DOUBLE[], q.qv) / "
+            "SQRT(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) * "
+            "list_inner_product(q.qv, q.qv)), 4) AS score_r "
+            "FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id = 0) q "
+            "ORDER BY list_inner_product(embedding::DOUBLE[], q.qv) / "
+            "SQRT(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) * "
+            "list_inner_product(q.qv, q.qv)) DESC, vec_id ASC LIMIT 10"
+        ),
+        "events_by_type_day": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_summary": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+    }

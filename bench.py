@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+and prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "sec", "queries": {...}, "sf": ...,
+   "docs_per_sec": ..., "scaling": {...}}
+
+Scaling evidence for the north rule (N -> 4N executors, efficiency >= 0.8):
+no real cluster exists in this sandbox, so the same pipeline job runs at
+local[N] and local[4N] (default N=8 -> 32) on identical input; efficiency =
+(T_N / T_4N) / 4. See BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(max(CPUS // 4, 1))))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"linguistjs-spark-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_pages(spark, sf_dir: str, replicate: int):
+    """Pipeline input: documents-derived pages replicated `replicate`x with
+    distinct urls (pure column expressions, deterministic)."""
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.sources.pages import pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        pages = pages.crossJoin(F.broadcast(reps)).withColumn(
+            "url", F.concat(F.col("url"), F.lit("?r="), F.col("_rep"))
+        ).drop("_rep")
+    return pages
+
+
+def run_pipeline_job(spark, sf_dir: str, replicate: int) -> int:
+    """The headline job: full quality-filter pipeline -> per-lang rollup."""
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.operators.rollup import language_rollup
+    from linguistjs_spark.pipeline import run_pipeline
+
+    pages = bench_pages(spark, sf_dir, replicate)
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    # force full materialization of every labels column (incl. scrubbed text)
+    n_docs = labels.count()
+    language_rollup(labels).collect()
+    return n_docs
+
+
+def timed(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import linguistjs_spark.operators.dedup as DD
+    import linguistjs_spark.operators.similarity as SIM
+    import linguistjs_spark.operators.text_stats as TS
+
+    queries: dict[str, float] = {}
+
+    spark = make_spark(CPUS)
+    try:
+        # warm-up: JVM + python workers + parquet footer caches
+        spark.range(10).count()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n_raw = docs.count()
+
+        t_pipe, n_docs = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
+        queries["pipeline_rollup"] = round(t_pipe, 3)
+
+        t, _ = timed(lambda: TS.doc_stats(docs).agg(
+            F.sum("n_tokens"), F.sum("n_bpe_tokens")).collect())
+        queries["text_stats"] = round(t, 3)
+
+        t, _ = timed(lambda: DD.exact_dedup(docs).count())
+        queries["exact_dedup"] = round(t, 3)
+
+        t, _ = timed(lambda: DD.minhash_dedup_pairs(docs, threshold=0.5).count())
+        queries["minhash_lsh"] = round(t, 3)
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0)
+                .select(F.explode("embedding")).collect()]
+        t, _ = timed(lambda: SIM.brute_force_topk(emb, qvec, k=10).collect())
+        queries["ann_bruteforce"] = round(t, 3)
+    finally:
+        spark.stop()
+
+    # ---- scaling: same pipeline job at local[N] and local[4N] ----
+    scaling = {}
+    t_by_cores = {}
+    for cores in (SCALE_N, SCALE_N * 4):
+        s = make_spark(cores)
+        try:
+            s.range(10).count()  # warm-up
+            t, n = timed(run_pipeline_job, s, SF_DIR, REPLICATE)
+            t_by_cores[cores] = t
+        finally:
+            s.stop()
+    t_n, t_4n = t_by_cores[SCALE_N], t_by_cores[SCALE_N * 4]
+    scaling = {
+        "cores_n": SCALE_N,
+        "cores_4n": SCALE_N * 4,
+        "wall_sec_n": round(t_n, 3),
+        "wall_sec_4n": round(t_4n, 3),
+        "docs_per_sec_n": round(n_docs / t_n, 1),
+        "docs_per_sec_4n": round(n_docs / t_4n, 1),
+        "efficiency": round((t_n / t_4n) / 4, 3),
+    }
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "n_docs_pipeline": n_docs,
+                "n_docs_raw": n_raw,
+                "docs_per_sec": round(n_docs / t_pipe, 1),
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

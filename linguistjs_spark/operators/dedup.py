@@ -1,0 +1,259 @@
+"""Deduplication operators for training-data pipelines: exact dedup,
+word-shingle MinHash + LSH banding, SimHash, and n-gram Jaccard verification.
+
+All stages are native Column expressions (higher-order array functions +
+xxhash64) — no Python UDFs — so they stay JVM-side and scale with the
+shuffle machinery:
+
+  - exact dedup: one hash-groupBy (map-side combine built in);
+  - MinHash/LSH: shingle->signature->band entirely within a projection
+    (narrow); the only shuffles are the explode+self-join on (band, hash) —
+    the standard bucket-join that keeps candidate generation linear-ish
+    instead of O(n^2) — and the verification join;
+  - SimHash: one projection to a 64-bit sketch; near-dup pairs via the same
+    band trick on bit slices (hamming<=k within buckets).
+
+ANSI-safe: all arithmetic goes through xxhash64/bit ops (no overflow) —
+important because Spark 4 runs ANSI mode by default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..oracle import WORD_SPLIT_PAT
+
+
+def normalized_text(text: Column) -> Column:
+    return F.trim(F.lower(F.regexp_replace(text, WORD_SPLIT_PAT, " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per exact (normalized) text.
+
+    One shuffle on the 64-bit fingerprint; at 100 TB this groupBy benefits
+    from AQE coalescing and never materialises text twice (we group by the
+    hash, not the text)."""
+    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    return (
+        docs.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Distinct xxhash64 hashes of word k-shingles (array<long>)."""
+    words = F.filter(F.split(normalized_text(text), " "), lambda x: x != F.lit(""))
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
+    # short docs: fall back to hashing the whole text as one shingle
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.xxhash64(F.concat_ws(" ", words)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: permutation j == re-hash with salt j (array<long>).
+
+    Standard shingle->minhash construction (Broder); each permutation is an
+    independent xxhash64(x, j) — overflow-free and deterministic."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def with_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    sh = shingle_hashes(F.col(text_col), k)
+    return docs.select(
+        F.col(id_col),
+        sh.alias("shingles"),
+        minhash_signature(sh, num_hashes).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (a, b), a<b, sharing >=1 LSH band bucket.
+
+    explode -> groupBy-free self-equi-join on (band_idx, band_hash): Spark
+    plans this as a shuffled hash join on the bucket key, which is exactly
+    the 'hash the bands, join the buckets' LSH formulation — linear in
+    bucket sizes instead of all-pairs."""
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
+                F.lit(i),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (n-gram Jaccard op).
+
+    Joins the (small) candidate set back to the shingle arrays; at scale the
+    pair side is tiny relative to the corpus so these are standard equi-joins
+    the optimizer can broadcast when small."""
+    s = sigs.select(F.col(id_col), "shingles")
+    joined = (
+        pairs.join(s.withColumnRenamed(id_col, "a").withColumnRenamed("shingles", "sh_a"), "a")
+        .join(s.withColumnRenamed(id_col, "b").withColumnRenamed("shingles", "sh_b"), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: shingle -> minhash -> band ->
+    bucket-join -> exact-Jaccard verify."""
+    sigs = with_minhash(docs, id_col, text_col, k, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_verify(pairs, sigs, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_col(shingles: Column, bits: int = 64) -> Column:
+    """64-bit SimHash sketch assembled with pure bit ops (no overflow).
+
+    The per-bit expressions are unrolled with Python ints (shiftright/
+    shiftleft take literal shift amounts); the fold over shingles stays a
+    single higher-order aggregate."""
+    counts = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        # two's-complement literal for the sign bit (1<<63 overflows LongType)
+        bitval = (1 << j) if j < bits - 1 else -(1 << (bits - 1))
+        out = out.bitwiseOR(
+            F.when(F.element_at(counts, j + 1) > 0, F.lit(bitval))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return out
+
+
+def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    sh = shingle_hashes(F.col(text_col), k)
+    return docs.select(F.col(id_col), simhash_col(sh).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit slices:
+    any pair within hamming<=3 of a 64-bit sketch shares at least one of the
+    four 16-bit slices exactly (pigeonhole), so the join key prunes the
+    quadratic blow-up."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("slice_idx"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("slice_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    b = sims.select(F.col(id_col), F.col("simhash"), F.explode(slices).alias("s"))
+    left, right = b.alias("l"), b.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.s.slice_idx") == F.col("r.s.slice_idx"))
+            & (F.col("l.s.slice_val") == F.col("r.s.slice_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("a"),
+            F.col(f"r.{id_col}").alias("b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

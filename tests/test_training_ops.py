@@ -1,0 +1,145 @@
+"""Training-data operators: dedup, similarity, text stats, multimodal
+plumbing, and the checkpoint/lineage resume layer."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import linguistjs_spark.operators.dedup as DD
+import linguistjs_spark.operators.similarity as SIM
+import linguistjs_spark.operators.text_stats as TS
+from linguistjs_spark.operators.multimodal import extract_media_features, synthetic_media_df
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup(spark, docs):
+    # planted exact duplicates must collapse to the min id
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    d = DD.exact_dedup(docs.unionByName(dup))
+    base = docs.count()
+    assert d.count() == spark.read.parquet(f"{SF}/documents.parquet").select(
+        DD.normalized_text(F.col("text")).alias("t")
+    ).distinct().count()
+    assert d.filter(F.col("n_copies") >= 2).count() >= 1
+    # representative is the min doc_id, never the planted 1M+ copy
+    assert d.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # append a lightly mutated copy of doc 0: high Jaccard expected
+    base_text = docs.filter("doc_id = 0").collect()[0]["text"]
+    mutated = base_text + " tail tail"
+    extra = spark.createDataFrame(
+        [(9_000_000, mutated, "en", "srcX", len(mutated))],
+        schema=docs.schema,
+    )
+    pairs = DD.minhash_dedup_pairs(docs.unionByName(extra), threshold=0.6)
+    hits = pairs.filter((F.col("a") == 0) & (F.col("b") == 9_000_000)).collect()
+    assert len(hits) == 1 and hits[0]["jaccard"] >= 0.6
+
+
+def test_minhash_verify_matches_exact_jaccard(spark, docs):
+    # LSH-surfaced pairs carry the EXACT shingle Jaccard (verified join)
+    sigs = DD.with_minhash(docs.limit(50))
+    rows = {r["doc_id"]: set(r["shingles"]) for r in sigs.collect()}
+    pairs = DD.jaccard_verify(
+        DD.lsh_candidate_pairs(sigs), sigs, threshold=0.0
+    ).collect()
+    for p in pairs:
+        a, b = rows[p["a"]], rows[p["b"]]
+        exact = len(a & b) / len(a | b)
+        assert abs(p["jaccard"] - exact) < 1e-9
+
+
+def test_simhash_identical_and_near(spark, docs):
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    sims = DD.with_simhash(docs.unionByName(dup))
+    pairs = DD.simhash_near_pairs(sims, max_hamming=0)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    for i in range(3):
+        assert (i, i + 1_000_000) in got or any(a == i or b == i for a, b in got)
+
+
+def test_bruteforce_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids == 0][0]
+    cos = mat @ q / np.sqrt((mat * mat).sum(1) * (q @ q))
+    order = np.lexsort((ids, -cos))
+    expect = list(ids[order][:10])
+    got = [r["vec_id"] for r in SIM.brute_force_topk(emb, list(q), k=10).collect()]
+    assert got == expect
+
+
+def test_lsh_topk_recall(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids == 3][0]
+    cos = mat @ q / np.sqrt((mat * mat).sum(1) * (q @ q))
+    truth = set(ids[np.lexsort((ids, -cos))][:10])
+    idx = SIM.with_lsh_buckets(emb, bits=8)
+    got = {r["vec_id"] for r in SIM.lsh_topk(idx, list(q), k=10, bits=8,
+                                             probe_hamming=3).collect()}
+    # approximate: require decent recall of the true top-10
+    assert len(got & truth) >= 5
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    dup = emb.limit(2).withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    pairs = SIM.embedding_near_dup_pairs(emb.unionByName(dup), threshold=0.999,
+                                         bits=8)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1_000_000) in got and (1, 1_000_001) in got
+
+
+def test_doc_stats_columns(spark, docs):
+    st = TS.doc_stats(docs.limit(20)).collect()
+    for r in st:
+        words = [w for w in r["text"].split() if w]
+        assert r["n_tokens"] == len(words)
+        assert r["n_bytes"] == len(r["text"].encode("utf-8"))
+        assert r["n_bpe_tokens"] >= r["n_tokens"]
+
+
+def test_media_feature_plumbing(spark):
+    media = synthetic_media_df(spark, 30)
+    feats = extract_media_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert r["n_bytes"] > 0
+    with pytest.raises(Exception):
+        extract_media_features(media, fake=False).collect()
+
+
+def test_resumable_run_idempotent(spark, tmp_path):
+    from linguistjs_spark.streaming.resume import read_labels, resumable_run
+    from linguistjs_spark.sources.pages import pages_df
+
+    out = str(tmp_path)
+    pages_df(spark, n_bulk=80).write.mode("overwrite").parquet(out + "/pages")
+    pg = spark.read.parquet(out + "/pages")
+
+    with pytest.raises(RuntimeError):
+        resumable_run(spark, pg, out + "/run", num_buckets=4, fail_after=2)
+    r2 = resumable_run(spark, pg, out + "/run", num_buckets=4)
+    assert sorted(r2["processed"] + r2["skipped"]) == [0, 1, 2, 3]
+    assert len(r2["skipped"]) == 2  # first run's completed buckets not redone
+    assert read_labels(spark, out + "/run").count() == pg.count()
+    # third run: everything skipped (fully idempotent)
+    r3 = resumable_run(spark, pg, out + "/run", num_buckets=4)
+    assert r3["processed"] == [] and len(r3["skipped"]) == 4
