@@ -46,7 +46,9 @@ class QualityFilterConfig:
     max_symbol_ratio: float = 0.25
     max_dup_line_ratio: float = 0.6
     min_stopword_hits: int = 0
-    # Perplexity gate (KenLM-style char-bigram model; higher = more gibberish)
+    # Perplexity gate (KenLM-style char-bigram model; higher = more gibberish).
+    # compute_perplexity adds the one optional pandas-UDF scoring stage.
+    compute_perplexity: bool = False
     max_perplexity: float = 1e9
     # fastText-style langid fallback for documents with no structural signal
     langid_fallback: bool = True

@@ -118,6 +118,7 @@ class DocResult:
     lines_content: int = 0
     lines_code: int = 0
     quality_score: float = 1.0
+    ppl: float | None = None             # KenLM-style perplexity (graft)
     nl_lang: str | None = None           # natural-language ID (graft)
     scrubbed_text: str | None = None
 
@@ -598,6 +599,16 @@ def analyse_document(
         res.keep = False
         res.keep_reason = qdrop
         return res
+
+    # graft: KenLM-style perplexity gate
+    if cfg.compute_perplexity:
+        from .perplexity import perplexity as _ppl
+
+        res.ppl = _ppl(text)
+        if res.ppl > cfg.max_perplexity:
+            res.keep = False
+            res.keep_reason = "quality-perplexity"
+            return res
 
     # graft: toxicity filter
     if cfg.toxicity_filter and feats["n_words"] > 0:

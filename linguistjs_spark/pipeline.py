@@ -20,6 +20,7 @@ Scale design notes (the judge-graded part):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,7 +34,7 @@ from .oracle import OverrideRule, resolve_alias
 
 LABEL_COLUMNS = [
     "url", "warc_ts", "path", "keep", "keep_reason", "lang", "alternatives",
-    "definite", "from_shebang", "bytes", "lines", "quality", "nl_lang",
+    "definite", "from_shebang", "bytes", "lines", "quality", "ppl", "nl_lang",
     "scrubbed_text",
 ]
 
@@ -164,7 +165,24 @@ def run_pipeline(
         "nl_lang", nl_lang_col(text) if cfg.langid_fallback else F.lit(None).cast("string")
     )
 
+    # optional KenLM-style perplexity stage (the one extra pandas UDF)
+    if cfg.compute_perplexity:
+        from .perplexity import perplexity as _ppl
+
+        @F.pandas_udf("double")
+        def ppl_udf(s: pd.Series) -> pd.Series:
+            return s.map(_ppl)
+
+        kept = kept.withColumn("ppl", ppl_udf(text))
+    else:
+        kept = kept.withColumn("ppl", F.lit(None).cast("double"))
+
     qreason = quality_drop_reason_col(F.col("quality"), cfg)
+    if cfg.compute_perplexity:
+        qreason = F.coalesce(
+            qreason,
+            F.when(F.col("ppl") > cfg.max_perplexity, F.lit("quality-perplexity")),
+        )
     tox_reason = F.lit(None).cast("string")
     if cfg.toxicity_filter:
         tox_reason = F.when(

@@ -1,0 +1,47 @@
+"""KenLM-style perplexity: sanity + Spark/oracle parity with the gate on."""
+
+import pytest
+
+from linguistjs_spark.config import QualityFilterConfig
+from linguistjs_spark.oracle import analyse_document
+from linguistjs_spark.perplexity import perplexity
+from linguistjs_spark.pipeline import run_pipeline
+from linguistjs_spark.sources.pages import generate_pages, pages_df
+
+
+def test_prose_scores_lower_than_gibberish():
+    prose = "this is a normal english sentence with common words in it"
+    gibberish = "qzxv jkqp wvxz zzqj xqvk pzwq jxqv kqzz"
+    assert perplexity(prose) < perplexity(gibberish)
+    assert perplexity("") == 0.0
+    assert perplexity("a") == 0.0
+
+
+def test_binary_soup_scores_high():
+    prose = "the model assigns ordinary prose a low score as expected here"
+    soup = "".join(chr((i * 37) % 200 + 33) for i in range(200))
+    assert perplexity(soup) > 2 * perplexity(prose)
+
+
+def test_pipeline_perplexity_parity(spark):
+    cfg = QualityFilterConfig(
+        compute_perplexity=True,
+        max_perplexity=18.0,  # low enough to force some drops
+        quality_rules=False,
+        langid_fallback=False,
+        scrub_pii=False,
+        toxicity_filter=False,
+    )
+    rows = generate_pages(n_bulk=120)
+    df = pages_df(spark, n_bulk=120)
+    got = {r["url"]: r for r in run_pipeline(spark, df, cfg).collect()}
+    n_drops = 0
+    for url, _ts, html, text, _l in rows:
+        exp = analyse_document(url, text, html=html, cfg=cfg)
+        g = got[url]
+        assert (g["keep"], g["keep_reason"]) == (exp.keep, exp.keep_reason), url
+        if exp.ppl is not None and g["ppl"] is not None:
+            assert g["ppl"] == pytest.approx(exp.ppl, abs=1e-12)
+        if exp.keep_reason == "quality-perplexity":
+            n_drops += 1
+    assert n_drops > 0  # the gate actually fired on some fixture rows
