@@ -87,6 +87,33 @@ class _KernelState:
         self.lang_data = {
             k: v for k, v in md.languages.items() if keep_lang(k)
         }
+        # (ext, candidates) -> applicable rule program, cached: candidates are
+        # constant per ext/filename key so applicability folds at driver time
+        self._rule_programs: dict[tuple, list] = {}
+
+    def rule_program(self, ext: str, cands: tuple) -> list:
+        """Pre-filtered heuristic program for (ext, candidates): a list of
+        groups, each a list of (lang, patterns) rules whose language (or its
+        group parent) is among the candidates — mirrors src/index.ts:319-362
+        including the later-group-overwrites quirk."""
+        key = (ext, cands)
+        prog = self._rule_programs.get(key)
+        if prog is None:
+            cset = set(cands)
+            prog = []
+            for dis in self.md.disambiguations:
+                if ext not in dis["extensions"]:
+                    continue
+                rules = []
+                for rule in dis["rules"]:
+                    lang = rule["language"]
+                    group = self.md.languages.get(lang, {}).get("group")
+                    if lang in cset or (group and group in cset):
+                        rules.append((lang, rule["patterns"]))
+                if rules:
+                    prog.append(rules)
+            self._rule_programs[key] = prog
+        return prog
 
     def classify_slow(self, path: str, text: str | None) -> tuple[list[str], bool, bool]:
         return oracle.classify(self.md, self.cfg, path, text, overrides=[])
@@ -172,25 +199,82 @@ def classify_batch(
         cl = e2_l[i] if isinstance(e2_l[i], list) else e1_l[i]
         out_cands[i] = cl if isinstance(cl, list) else [None]
 
-    # C8/C9 narrowing: heuristics only where the ext gate (or shebang bypass)
-    # makes them reachable; plain default-first-candidate elsewhere.
+    # C8/C9 narrowing. Heuristic rows are bucketed by (ext, candidates) —
+    # both constant per suffix/filename key — so rule applicability folds
+    # once per bucket and pattern matching runs vectorized per bucket
+    # (Series.str.contains with driver-compiled regexes). Only shebang rows
+    # (ext gate bypassed, src/index.ts:322) take the per-row oracle path.
+    # extname semantics matching oracle.extname wherever the result could be
+    # a heuristic ext: final .ext of the basename, '' for leading-dot names
+    ext_series = base.str.extract(r"(?<=[^/])(\.[^./]+)$", expand=False).fillna("")
+    ext_l = ext_series.tolist()
+
     langs: list = [None] * n
     alts: list = [[]] * n
+    buckets: dict[tuple, list[int]] = {}
     for i in range(n):
         cands = out_cands[i]
         if out_definite[i]:
             langs[i] = cands[0]
             continue
-        ext = oracle.extname(path_l[i]).lower()
-        if st.cfg.check_heuristics and (
-            out_shebang[i] or ext in st.heuristic_exts
-        ):
+        if st.cfg.check_heuristics and out_shebang[i]:
             langs[i], alts[i] = st.narrow_slow(
-                path_l[i], text_l[i], cands, False, out_shebang[i]
+                path_l[i], text_l[i], cands, False, True
             )
-        else:
-            langs[i] = cands[0]
-            alts[i] = list(cands[1:])
+            continue
+        if (
+            st.cfg.check_heuristics
+            and ext_l[i] in st.heuristic_exts
+            and text_l[i] is not None
+        ):
+            buckets.setdefault((ext_l[i], tuple(cands)), []).append(i)
+            continue
+        langs[i] = cands[0]
+        alts[i] = list(cands[1:])
+
+    for (ext, cands), idxs in buckets.items():
+        prog = st.rule_program(ext, cands)
+        default_lang = cands[0]
+        default_alts = list(cands[1:])
+        if not prog:
+            for i in idxs:
+                langs[i] = default_lang
+                alts[i] = default_alts
+            continue
+        texts = pd.Series([text_l[i] for i in idxs])
+        m = len(idxs)
+        res: list = [None] * m
+        for group in prog:
+            undecided = [True] * m
+            grp_res: list = [None] * m
+            for lang, patterns in group:
+                if not any(undecided):
+                    break
+                if not patterns:
+                    for j in range(m):
+                        if undecided[j]:
+                            grp_res[j] = lang
+                            undecided[j] = False
+                    continue
+                matched = None
+                for pat in patterns:
+                    mm = texts.str.contains(pat, regex=True, na=False)
+                    matched = mm if matched is None else (matched | mm)
+                mt = matched.tolist()
+                for j in range(m):
+                    if undecided[j] and mt[j]:
+                        grp_res[j] = lang
+                        undecided[j] = False
+            for j in range(m):
+                if grp_res[j] is not None:
+                    res[j] = grp_res[j]  # later group overwrites (quirk)
+        for j, i in enumerate(idxs):
+            if res[j] is not None:
+                langs[i] = res[j]
+                alts[i] = []
+            else:
+                langs[i] = default_lang
+                alts[i] = default_alts
 
     return pd.DataFrame(
         {
