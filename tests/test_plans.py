@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions: the scale story must be visible in
+explain() output, not just asserted in prose (SURVEY.md §4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linguistjs_spark.config import QualityFilterConfig
+from linguistjs_spark.pipeline import run_pipeline
+from linguistjs_spark.plans.explain_utils import (
+    formatted_plan,
+    has_wholestage_codegen,
+    pushed_filters,
+    scan_read_schemas,
+)
+from linguistjs_spark.sources.pages import pages_df
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pages") / "pages.parquet")
+    pages_df(spark, n_bulk=50).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_drop_reason_branch_prunes_content_columns(spark, pages_parquet):
+    """The path-filter stage must not force a read of text/html: the dropped
+    branch projects only url/warc_ts/path, so the parquet scan's ReadSchema
+    must exclude the heavy content columns."""
+    pages = spark.read.parquet(pages_parquet)
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    dropped_only = labels.filter(~F.col("keep")).select("url", "keep_reason")
+    plan = formatted_plan(dropped_only)
+    schemas = scan_read_schemas(plan)
+    assert schemas, "expected parquet scans in the plan"
+    # at least one scan (the dropped-branch scan) reads neither text nor html
+    assert any("html" not in s and "text" not in s for s in schemas), schemas
+
+
+def test_url_prefilter_pushdown(spark, pages_parquet):
+    """A url predicate applied before the pipeline must reach the scan as a
+    pushed filter (the partition-pruning analog of the reference's walk-time
+    gitignore pruning, walk-tree.ts:82-83)."""
+    pages = spark.read.parquet(pages_parquet).filter(
+        F.col("url").startswith("https://crawl.example/")
+    )
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    plan = formatted_plan(labels)
+    pf = pushed_filters(plan)
+    assert any("StringStartsWith" in p or "startswith" in p.lower() for p in pf), pf
+
+
+def test_quality_stage_is_codegen(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    assert has_wholestage_codegen(formatted_plan(labels))
+
+
+def test_classify_udf_sees_only_path_and_text(spark, pages_parquet):
+    """Arrow transfer discipline: the classify kernel's python stage must
+    receive exactly (path, text) — never html bytes."""
+    pages = spark.read.parquet(pages_parquet)
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    plan = formatted_plan(labels)
+    arrow_lines = [
+        l for l in plan.splitlines() if "ArrowEvalPython" in l or "classify_udf" in l
+    ]
+    assert arrow_lines, "expected an ArrowEvalPython stage"
+    assert not any("html" in l for l in arrow_lines), arrow_lines
+
+
+def test_single_shuffle_for_rollup(spark, pages_parquet):
+    """language_rollup over labels adds exactly one exchange beyond the
+    pipeline itself (the groupBy) — partial aggregation handles the rest."""
+    from linguistjs_spark.operators.rollup import language_rollup
+
+    pages = spark.read.parquet(pages_parquet)
+    labels = run_pipeline(spark, pages, QualityFilterConfig())
+    base_plan = formatted_plan(labels)
+    roll_plan = formatted_plan(language_rollup(labels))
+    n_base = base_plan.count("Exchange")
+    n_roll = roll_plan.count("Exchange")
+    assert n_roll - n_base <= 2, (n_base, n_roll)
