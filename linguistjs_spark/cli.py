@@ -1,0 +1,135 @@
+"""CLI entry point — the analog of the reference's commander CLI
+(/root/reference/src/cli.ts): analyse a pages parquet directory and print a
+per-language summary, full JSON results, or a dot-path subtree (--tree).
+
+Usage (also the spark-submit main, north rule 'spark-submit --py-files'):
+    spark-submit --py-files linguistjs_spark.zip -m linguistjs_spark.cli \\
+        <pages_parquet_dir> [--json] [--tree languages.results]
+        [--min-size 100b|1kb|5%|10loc] [--categories programming,markup]
+        [--quick] [--child-languages] [--output DIR] [--buckets N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_min_size(val: str) -> tuple[str, float]:
+    """minSize unit parsing, mirroring src/cli.ts:75-85 (b/kb/mb/%/loc)."""
+    v = val.strip().lower()
+    for unit, mult in (("kb", 1e3), ("mb", 1e6), ("loc", 1.0), ("%", 1.0), ("b", 1.0)):
+        if v.endswith(unit):
+            return unit, float(v[: -len(unit)]) * (mult if unit in ("kb", "mb") else 1)
+    return "b", float(v)
+
+
+def tree_lookup(obj, dotpath: str):
+    """--tree dot traversal (src/cli.ts:167-175)."""
+    cur = obj
+    for part in dotpath.split("."):
+        if not part:
+            continue
+        cur = cur[part]
+    return cur
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="linguistjs-spark")
+    ap.add_argument("input", help="pages parquet directory")
+    ap.add_argument("--json", action="store_true", help="full nested results JSON")
+    ap.add_argument("--tree", default=None, help="dot-path subtree of the results")
+    ap.add_argument("--min-size", default=None, help="merge small langs into Other")
+    ap.add_argument("--categories", default=None)
+    ap.add_argument("--ignored-languages", default=None)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--child-languages", action="store_true")
+    ap.add_argument("--keep-vendored", action="store_true")
+    ap.add_argument("--keep-binary", action="store_true")
+    ap.add_argument("--output", default=None, help="write labels+rollups here")
+    ap.add_argument("--buckets", type=int, default=0,
+                    help="resumable per-bucket run with lineage (0 = one shot)")
+    ap.add_argument("--cores", default="*")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .config import QualityFilterConfig
+    from .pipeline import run_pipeline
+    from .sources.sinks import results_dict, write_labels, write_rollups
+
+    cfg_kwargs: dict = dict(
+        quick=args.quick,
+        child_languages=args.child_languages,
+        keep_vendored=args.keep_vendored,
+        keep_binary=args.keep_binary,
+    )
+    if args.categories:
+        cfg_kwargs["categories"] = tuple(args.categories.split(","))
+    if args.ignored_languages:
+        cfg_kwargs["ignored_languages"] = tuple(args.ignored_languages.split(","))
+    cfg = QualityFilterConfig(**cfg_kwargs)
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName("linguistjs-spark-cli")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    try:
+        pages = spark.read.parquet(args.input)
+        if args.buckets > 0 and args.output:
+            from .streaming.resume import read_labels, resumable_run
+
+            resumable_run(spark, pages, args.output, cfg, num_buckets=args.buckets)
+            labels = read_labels(spark, args.output)
+        else:
+            labels = run_pipeline(spark, pages, cfg)
+            if args.output:
+                write_labels(labels, f"{args.output}/labels")
+                write_rollups(labels, f"{args.output}/rollups")
+
+        results = results_dict(labels, calculate_lines=cfg.calculate_lines)
+
+        if args.tree is not None:
+            print(json.dumps(tree_lookup(results, args.tree), indent=2, default=str))
+        elif args.json:
+            print(json.dumps(results, indent=2, default=str))
+        else:
+            langs = results["languages"]["results"]
+            total = results["languages"]["bytes"] or 1
+            if args.min_size:
+                unit, thr = parse_min_size(args.min_size)
+                merged: dict = {}
+                other = {"bytes": 0, "count": 0}
+                for lang, d in langs.items():
+                    size = d["bytes"]
+                    if unit == "%":
+                        small = 100.0 * size / total < thr
+                    elif unit == "loc":
+                        small = d["lines"]["code"] < thr
+                    else:
+                        small = size < thr
+                    if small:
+                        other["bytes"] += size
+                        other["count"] += 1
+                    else:
+                        merged[lang] = d
+                if other["count"]:
+                    merged["Other"] = {"type": None, "bytes": other["bytes"],
+                                       "lines": {"total": 0, "content": 0, "code": 0},
+                                       "color": None}
+                langs = merged
+            width = max((len(l) for l in langs), default=4)
+            for lang, d in sorted(langs.items(), key=lambda kv: -kv[1]["bytes"]):
+                pct = 100.0 * d["bytes"] / total
+                print(f"{lang:<{width}}  {d['bytes']:>12} B  {pct:6.2f}%  "
+                      f"{d.get('type') or '-'}")
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

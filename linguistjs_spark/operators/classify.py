@@ -21,7 +21,15 @@ the two paths row-for-row.
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
+
+# Series.str.contains warns when a heuristic regex has capture groups; we
+# only want the boolean, so the warning is noise (fires per Arrow batch).
+warnings.filterwarnings(
+    "ignore", message="This pattern is interpreted as a regular expression"
+)
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,

@@ -40,30 +40,30 @@ def toxicity_hits_col(text: Column) -> Column:
 
 def nl_lang_col(text: Column) -> Column:
     """argmax over per-language scores; ties break to the greater lang code,
-    exactly like oracle._LangIdModel.predict (max over (score, lang))."""
+    exactly like oracle._LangIdModel.predict (max over (score, lang)).
+
+    Per-language scores are merged at DRIVER time (a lang appearing in both
+    the script and stopword tables gets one summed expression), so each
+    regexp_count runs exactly once per row — no dynamic array dedupe, which
+    would re-evaluate every count per array element inside the higher-order
+    lambdas (measured 10x slowdown)."""
     conf = load_langid_config()
-    entries = []
+    score_parts: dict[str, list[Column]] = {}
     for lang, pat in conf["script_langs"].items():
-        score = F.lit(3) * F.regexp_count(text, F.lit(_java(pat)))
-        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+        score_parts.setdefault(lang, []).append(
+            F.lit(3) * F.regexp_count(text, F.lit(_java(pat)))
+        )
     for lang, words in conf["stopword_langs"].items():
         pat = r"(?i)\b(" + "|".join(words) + r")\b"
-        score = F.regexp_count(text, F.lit(_java(pat)))
-        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    # same lang can appear in both tables: sum its two scores before argmax
-    arr = F.array(*entries)
-    langs = F.array_distinct(F.transform(arr, lambda e: e.lang))
-    summed = F.transform(
-        langs,
-        lambda l: F.struct(
-            F.aggregate(
-                F.filter(arr, lambda e: e.lang == l),
-                F.lit(0),
-                lambda acc, e: acc + e.score,
-            ).alias("score"),
-            l.alias("lang"),
-        ),
-    )
-    best = F.array_max(summed)
+        score_parts.setdefault(lang, []).append(
+            F.regexp_count(text, F.lit(_java(pat)))
+        )
+    entries = []
+    for lang in sorted(score_parts):
+        total = score_parts[lang][0]
+        for extra in score_parts[lang][1:]:
+            total = total + extra
+        entries.append(F.struct(total.alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*entries)
     min_hits = conf["min_confidence_hits"]
     return F.when(best.score >= min_hits, best.lang).otherwise(F.lit(None))

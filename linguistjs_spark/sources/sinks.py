@@ -1,0 +1,95 @@
+"""Result sinks (S5 analog): parquet table writers plus the reference's
+nested Results object for small rollups.
+
+The reference returns one nested dict {files, languages, unknown}
+(src/types.ts:33-77, built at src/index.ts:417-479); at scale the three
+sections are three DataFrames written as tables, and the nested dict is only
+materialised for presentation (the rollup is tiny by then).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.rollup import language_rollup, totals, unknown_rollup
+
+
+def write_labels(labels: DataFrame, path: str, mode: str = "overwrite") -> None:
+    labels.write.mode(mode).parquet(path)
+
+
+def write_rollups(labels: DataFrame, base_path: str, mode: str = "overwrite") -> None:
+    language_rollup(labels).write.mode(mode).parquet(f"{base_path}/languages")
+    unknown_rollup(labels).write.mode(mode).parquet(f"{base_path}/unknown")
+    totals(labels).write.mode(mode).parquet(f"{base_path}/totals")
+
+
+def results_dict(labels: DataFrame, calculate_lines: bool = True) -> dict:
+    """The reference's nested Results shape (src/types.ts:33-77) from a labels
+    frame. files.results maps url -> language (null == unknown); dropped
+    documents are absent, mirroring the reference deleting them from the file
+    set before classification."""
+    kept = labels.filter(F.col("keep")).select(
+        "url", "lang", "alternatives", "bytes", "lines"
+    )
+    rows = kept.collect()
+    lang_rows = language_rollup(labels).collect()
+    unk_rows = unknown_rollup(labels).collect()
+
+    nan3 = {"total": math.nan, "content": math.nan, "code": math.nan}
+
+    def lines3(r):
+        return {"total": r["lines"]["total"], "content": r["lines"]["content"],
+                "code": r["lines"]["code"]}
+
+    files = {
+        "count": len(rows),
+        "bytes": sum(r["bytes"] for r in rows),
+        "lines": {
+            "total": sum(r["lines"]["total"] for r in rows),
+            "content": sum(r["lines"]["content"] for r in rows),
+            "code": sum(r["lines"]["code"] for r in rows),
+        } if calculate_lines else nan3,
+        "results": {r["url"]: r["lang"] for r in rows},
+        "alternatives": {
+            r["url"]: list(r["alternatives"])
+            for r in rows
+            if r["alternatives"]
+        },
+    }
+    languages = {
+        "count": len(lang_rows),
+        "bytes": sum(r["bytes"] for r in lang_rows),
+        "lines": {
+            "total": sum(r["lines_total"] for r in lang_rows),
+            "content": sum(r["lines_content"] for r in lang_rows),
+            "code": sum(r["lines_code"] for r in lang_rows),
+        },
+        "results": {
+            r["lang"]: {
+                "type": r["type"],
+                "bytes": r["bytes"],
+                "lines": {
+                    "total": r["lines_total"],
+                    "content": r["lines_content"],
+                    "code": r["lines_code"],
+                },
+                "color": r["color"],
+            }
+            for r in lang_rows
+        },
+    }
+    unknown = {
+        "count": len(unk_rows),
+        "bytes": sum(r["bytes"] for r in unk_rows),
+        "extensions": {
+            r["name"]: r["bytes"] for r in unk_rows if r["kind"] == "extensions"
+        },
+        "filenames": {
+            r["name"]: r["bytes"] for r in unk_rows if r["kind"] == "filenames"
+        },
+    }
+    return {"files": files, "languages": languages, "unknown": unknown}
