@@ -59,6 +59,8 @@ def main(argv: list[str] | None = None) -> int:
     from .pipeline import run_pipeline
     from .sources.sinks import results_dict, write_labels, write_rollups
 
+    owns_session = SparkSession.getActiveSession() is None
+
     cfg_kwargs: dict = dict(
         quick=args.quick,
         child_languages=args.child_languages,
@@ -128,7 +130,8 @@ def main(argv: list[str] | None = None) -> int:
                       f"{d.get('type') or '-'}")
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""End-to-end golden test of the nested Results object — the analog of the
+reference's folder test (/root/reference/test/folder.js deep-diffing
+analyse() output against test/expected.json): the full nested dict built
+from the distributed pipeline must deep-equal the one built row-wise from
+the oracle."""
+
+import json
+
+from linguistjs_spark.config import REFERENCE_PARITY_CONFIG as CFG
+from linguistjs_spark.oracle import analyse_document
+from linguistjs_spark.pipeline import run_pipeline
+from linguistjs_spark.sources.pages import SEED_OVERRIDES, generate_pages, pages_df
+from linguistjs_spark.sources.sinks import results_dict
+
+
+def _oracle_results_dict(rows):
+    files = {"count": 0, "bytes": 0,
+             "lines": {"total": 0, "content": 0, "code": 0},
+             "results": {}, "alternatives": {}}
+    languages = {"count": 0, "bytes": 0,
+                 "lines": {"total": 0, "content": 0, "code": 0}, "results": {}}
+    unknown = {"count": 0, "bytes": 0, "extensions": {}, "filenames": {}}
+
+    from linguistjs_spark.metadata import load_metadata
+    md = load_metadata()
+
+    for url, _ts, html, text, _l in rows:
+        r = analyse_document(url, text, html=html, cfg=CFG, overrides=SEED_OVERRIDES)
+        if not r.keep:
+            continue
+        files["count"] += 1
+        files["bytes"] += r.bytes
+        files["lines"]["total"] += r.lines_total
+        files["lines"]["content"] += r.lines_content
+        files["lines"]["code"] += r.lines_code
+        files["results"][url] = r.lang
+        if r.alternatives:
+            files["alternatives"][url] = r.alternatives
+        if r.lang is not None:
+            meta = md.languages.get(r.lang, {})
+            d = languages["results"].setdefault(
+                r.lang,
+                {"type": meta.get("type"), "bytes": 0,
+                 "lines": {"total": 0, "content": 0, "code": 0},
+                 "color": meta.get("color")},
+            )
+            d["bytes"] += r.bytes
+            d["lines"]["total"] += r.lines_total
+            d["lines"]["content"] += r.lines_content
+            d["lines"]["code"] += r.lines_code
+            languages["bytes"] += r.bytes
+            languages["lines"]["total"] += r.lines_total
+            languages["lines"]["content"] += r.lines_content
+            languages["lines"]["code"] += r.lines_code
+        else:
+            base = r.path.rsplit("/", 1)[-1]
+            idx = base.rfind(".")
+            ext = base[idx:] if idx > 0 else ""
+            kind = "extensions" if ext else "filenames"
+            name = ext or base
+            unknown[kind][name] = unknown[kind].get(name, 0) + r.bytes
+            unknown["bytes"] += r.bytes
+    languages["count"] = len(languages["results"])
+    unknown["count"] = len(unknown["extensions"]) + len(unknown["filenames"])
+    return {"files": files, "languages": languages, "unknown": unknown}
+
+
+def test_results_dict_matches_oracle_golden(spark):
+    rows = generate_pages(n_bulk=80)
+    expected = _oracle_results_dict(rows)
+    labels = run_pipeline(spark, pages_df(spark, n_bulk=80), CFG,
+                          overrides=SEED_OVERRIDES)
+    got = results_dict(labels)
+    assert json.dumps(got, sort_keys=True, default=str) == json.dumps(
+        expected, sort_keys=True, default=str
+    )
+
+
+def test_cli_runs(spark, tmp_path, capsys):
+    from linguistjs_spark.cli import main
+
+    path = str(tmp_path / "pages.parquet")
+    pages_df(spark, n_bulk=40).write.mode("overwrite").parquet(path)
+    rc = main([path, "--tree", "languages.count", "--child-languages"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert int(out) > 3
+
+    rc = main([path, "--min-size", "1kb"])
+    assert rc == 0
+    assert "B" in capsys.readouterr().out
