@@ -29,6 +29,18 @@ def normalized_text(text: Column) -> Column:
     return F.trim(F.lower(F.regexp_replace(text, WORD_SPLIT_PAT, " ")))
 
 
+def _let(expr: Column, body) -> Column:
+    """Let-binding for higher-order expressions: evaluate `expr` ONCE per row
+    and pass it to `body` as a lambda variable.
+
+    Without this, a lambda that references an outer expression re-evaluates
+    it per array element (HOF lambiform children are not common-subexpression
+    eliminated): shingle building over words would be O(words^2), and a
+    64-hash MinHash signature would rebuild the shingle array 64 times —
+    measured as a >60x slowdown at sf0.1."""
+    return F.transform(F.array(expr), body)[0]
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -57,25 +69,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """Distinct xxhash64 hashes of word k-shingles (array<long>)."""
     words = F.filter(F.split(normalized_text(text), " "), lambda x: x != F.lit(""))
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, k))))
-    # short docs: fall back to hashing the whole text as one shingle
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.xxhash64(F.concat_ws(" ", words)))
-    )
+
+    def build(w: Column) -> Column:
+        n = F.size(w)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+        sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, k))))
+        # short docs: fall back to hashing the whole text as one shingle
+        return F.when(n >= k, F.array_distinct(sh)).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", w)))
+        )
+
+    return _let(words, build)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """MinHash signature: permutation j == re-hash with salt j (array<long>).
 
     Standard shingle->minhash construction (Broder); each permutation is an
-    independent xxhash64(x, j) — overflow-free and deterministic."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda x: F.xxhash64(x, F.lit(j))))
-            for j in range(num_hashes)
-        ]
+    independent xxhash64(x, j) — overflow-free and deterministic. The shingle
+    array is let-bound so the 64 permutations scan it without rebuilding it."""
+    return _let(
+        shingles,
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: F.array_min(F.transform(sh, lambda x: F.xxhash64(x, j))),
+        ),
     )
 
 
@@ -203,16 +221,19 @@ def simhash_col(shingles: Column, bits: int = 64) -> Column:
             lambda a, b: a + b,
         ),
     )
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        # two's-complement literal for the sign bit (1<<63 overflows LongType)
-        bitval = (1 << j) if j < bits - 1 else -(1 << (bits - 1))
-        out = out.bitwiseOR(
-            F.when(F.element_at(counts, j + 1) > 0, F.lit(bitval))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-    return out
+    def assemble(c: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(bits):
+            # two's-complement literal (1<<63 overflows LongType)
+            bitval = (1 << j) if j < bits - 1 else -(1 << (bits - 1))
+            out = out.bitwiseOR(
+                F.when(F.element_at(c, j + 1) > 0, F.lit(bitval))
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+        return out
+
+    return _let(counts, assemble)
 
 
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
