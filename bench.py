@@ -25,7 +25,8 @@ os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", str(max(CPUS // 4, 1))))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "32"))
+PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "128"))
 
 
 def make_spark(cores: int):
@@ -58,21 +59,41 @@ def bench_pages(spark, sf_dir: str, replicate: int):
         pages = pages.crossJoin(F.broadcast(reps)).withColumn(
             "url", F.concat(F.col("url"), F.lit("?r="), F.col("_rep"))
         ).drop("_rep")
-    return pages
+    # north-rule repartition(xxhash64(url)), applied BEFORE the filter flags:
+    # the source is one parquet row group == one split, so without this the
+    # entire pre-shuffle stage would run on a single core no matter how many
+    # executors exist (the serial floor that killed 8->32 scaling).
+    return pages.repartition(PARTS, F.xxhash64("url"))
 
 
 def run_pipeline_job(spark, sf_dir: str, replicate: int) -> int:
-    """The headline job: full quality-filter pipeline -> per-lang rollup."""
+    """The headline job: full quality-filter pipeline -> per-lang rollup.
+
+    One pass: a single groupBy forces every column (including scrubbed text)
+    and returns the row count from the aggregate — no second evaluation.
+    repartition_buckets applies the north-rule repartition(xxhash64(url)) so
+    the map stage parallelises regardless of input file count (a single
+    small parquet file is ONE split otherwise — measured flat 8->32-core
+    scaling without it)."""
+    from pyspark.sql import functions as F
+
     from linguistjs_spark.config import QualityFilterConfig
-    from linguistjs_spark.operators.rollup import language_rollup
     from linguistjs_spark.pipeline import run_pipeline
 
+    cfg = QualityFilterConfig()  # bench_pages already repartitioned by url
     pages = bench_pages(spark, sf_dir, replicate)
-    labels = run_pipeline(spark, pages, QualityFilterConfig())
-    # force full materialization of every labels column (incl. scrubbed text)
-    n_docs = labels.count()
-    language_rollup(labels).collect()
-    return n_docs
+    labels = run_pipeline(spark, pages, cfg)
+    rows = (
+        labels.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.octet_length("scrubbed_text")).alias("scrub_bytes"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("lines.code").alias("code"),
+        )
+        .collect()
+    )
+    return sum(r["n"] for r in rows)
 
 
 def timed(fn, *args):
@@ -92,8 +113,8 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     try:
-        # warm-up: JVM + python workers + parquet footer caches
-        spark.range(10).count()
+        # warm-up: JVM, codegen compile, python workers, parquet footers
+        run_pipeline_job(spark, SF_DIR, 1)
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         n_raw = docs.count()
 
@@ -119,12 +140,15 @@ def main() -> None:
         spark.stop()
 
     # ---- scaling: same pipeline job at local[N] and local[4N] ----
+    # A small warm-up run first (codegen compile + python-worker spin-up are
+    # fixed costs a long-running cluster amortises; steady-state throughput
+    # is the number that matters at 10^12 docs).
     scaling = {}
     t_by_cores = {}
     for cores in (SCALE_N, SCALE_N * 4):
         s = make_spark(cores)
         try:
-            s.range(10).count()  # warm-up
+            run_pipeline_job(s, SF_DIR, 1)  # warm-up
             t, n = timed(run_pipeline_job, s, SF_DIR, REPLICATE)
             t_by_cores[cores] = t
         finally:

@@ -38,6 +38,35 @@ def toxicity_hits_col(text: Column) -> Column:
     return F.regexp_count(text, F.lit(_java(pat)))
 
 
+def fasttext_nl_lang_col(text: Column, model_path: str):
+    """Optional real-fastText langid (production hook; the package is absent
+    in this container). Iterator pandas UDF with a per-executor lazy model
+    singleton — loaded once per python worker, predicted in batches."""
+    try:
+        import fasttext  # noqa: F401
+    except ImportError:
+        return None
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def ft_udf(batches):
+        import fasttext
+
+        model = fasttext.load_model(model_path)
+        for s in batches:
+            labels = [
+                model.predict(t.replace("\n", " "))[0][0].removeprefix("__label__")
+                if t
+                else None
+                for t in s.fillna("")
+            ]
+            yield pd.Series(labels, dtype=object)
+
+    return ft_udf(text)
+
+
 def nl_lang_col(text: Column) -> Column:
     """argmax over per-language scores; ties break to the greater lang code,
     exactly like oracle._LangIdModel.predict (max over (score, lang)).

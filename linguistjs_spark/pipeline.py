@@ -161,9 +161,17 @@ def run_pipeline(
             ),
         )
     kept = kept.withColumn("quality", quality_struct(text))
-    kept = kept.withColumn(
-        "nl_lang", nl_lang_col(text) if cfg.langid_fallback else F.lit(None).cast("string")
-    )
+    if cfg.langid_fallback:
+        nl = None
+        if cfg.fasttext_model_path:
+            from .operators.scrub import fasttext_nl_lang_col
+
+            nl = fasttext_nl_lang_col(text, cfg.fasttext_model_path)
+        if nl is None:
+            nl = nl_lang_col(text)
+    else:
+        nl = F.lit(None).cast("string")
+    kept = kept.withColumn("nl_lang", nl)
 
     # optional KenLM-style perplexity stage (the one extra pandas UDF)
     if cfg.compute_perplexity:
