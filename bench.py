@@ -23,7 +23,10 @@ os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: the sandbox host carries ~5-8 load of background work,
+# and local[32] + 32 python UDF workers oversubscribes it (measured local[32]
+# consistently slower than local[16]). Env-overridable.
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 # Scaling pair default: local[4] vs local[16], NOT local[8]/local[32] — the
 # sandbox host carries ~5-8 load of background work, and a local[32] run plus
 # its 32 python UDF workers oversubscribes the box (measured: local[32] can
