@@ -151,6 +151,16 @@ def q_cascade_extmap(spark, sf_dir):
     )
 
 
+def q_keep_reason_rollup(spark, sf_dir):
+    # north-star metrics rollup: grouping sets over (lang, keep_reason) in
+    # one pass, over the full pipeline (quality rules ON so reasons vary)
+    cfg = QualityFilterConfig(langid_fallback=False, scrub_pii=False,
+                              toxicity_filter=False)
+    pages = pages_from_documents(spark, sf_dir)
+    labels = run_pipeline(spark, pages, cfg)
+    return R.keep_reason_rollup(labels)
+
+
 def q_unknown_rollup(spark, sf_dir):
     # A4: unknown rollup over fixture pages that classify to null
     pages = pages_from_documents(spark, sf_dir)
@@ -270,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": q_token_count_by_source,
         "exact_dedup": q_exact_dedup,
         "cascade_extmap": q_cascade_extmap,
+        "keep_reason_rollup": q_keep_reason_rollup,
         "unknown_rollup": q_unknown_rollup,
         "minsize_other": q_minsize_other,
         "top_langs": q_top_langs,
@@ -385,6 +396,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(strlen(text)) AS BIGINT) AS bytes "
             f"FROM (SELECT {_CASCADE_CASE} AS lang, text FROM documents) GROUP BY lang"
         ),
+        "keep_reason_rollup": f"""
+            WITH q AS (
+              SELECT doc_id, text,
+                     len({_WORDS}) AS n_words,
+                     CASE WHEN len({_WORDS}) > 0
+                          THEN CAST(list_sum(list_transform({_WORDS}, x -> length(x))) AS DOUBLE)
+                               / len({_WORDS})
+                          ELSE 0.0 END AS mean_wl,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[#<>{{}}\\[\\]\\\\^~|]')) AS DOUBLE)
+                               / length(text)
+                          ELSE 0.0 END AS sym_ratio,
+                     CASE WHEN len({_NONBLANK}) > 0
+                          THEN 1.0 - CAST(len(list_distinct({_NONBLANK})) AS DOUBLE)
+                               / len({_NONBLANK})
+                          ELSE 0.0 END AS dup_ratio
+              FROM documents
+            ),
+            lab AS (
+              SELECT {_CASCADE_CASE} AS lang,
+                     CASE WHEN n_words < 5 OR n_words > 1000000 THEN 'quality-words'
+                          WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'quality-word-length'
+                          WHEN sym_ratio > 0.25 THEN 'quality-symbols'
+                          WHEN dup_ratio > 0.6 THEN 'quality-dup-lines'
+                          ELSE 'classified' END AS keep_reason,
+                     strlen(text) AS b
+              FROM q
+            )
+            SELECT lang, keep_reason, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN keep_reason = 'classified' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   CAST(SUM(b) AS BIGINT) AS bytes,
+                   CAST(GROUPING(lang, keep_reason) AS BIGINT) AS grp
+            FROM lab
+            GROUP BY GROUPING SETS ((lang, keep_reason), (lang), ())
+        """,
         "unknown_rollup": (
             # doc_id%10==0 rows lose their .txt ext -> filename 'docN' unknown;
             # everything else classifies to a language

@@ -131,6 +131,26 @@ def min_size_other(rollup: DataFrame, min_bytes: int) -> DataFrame:
     )
 
 
+def keep_reason_rollup(labels: DataFrame) -> DataFrame:
+    """North-star metrics rollup: groupingsets over (lang, keep_reason) —
+    per-(lang, keep_reason), per-lang, and global totals in ONE pass
+    (SURVEY.md §2.4: Spark's grouping-sets subsumes the reference's separate
+    aggregation loops). Covers dropped documents too (lang null there)."""
+    return (
+        labels.groupingSets(
+            [["lang", "keep_reason"], ["lang"], []],
+            "lang",
+            "keep_reason",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+            F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("bytes"),
+            F.grouping_id().alias("grp"),
+        )
+    )
+
+
 def sorted_by_bytes(rollup: DataFrame) -> DataFrame:
     """O1: display ordering (src/cli.ts:105), with percent-of-total (O2) in
     integer basis points to stay engine-exact."""
