@@ -128,6 +128,69 @@ def lsh_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — centroid-bucketed variant
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the n_centroids lowest-id vectors.
+
+    A production deployment trains k-means centroids offline; the
+    assignment/probe plumbing below is identical either way, which is the
+    part that matters for the Spark engine."""
+    rows = embeddings.orderBy(id_col).limit(n_centroids).collect()
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def with_ivf_buckets(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (argmax cosine) in one
+    native projection; at scale the output is written partitioned by
+    `centroid` so probes prune whole partitions."""
+    v = F.col(vec_col)
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(
+            F.struct(cosine(v, c).alias("score"), F.lit(cid).alias("cid"))
+        )
+    best = F.greatest(*entries)
+    return embeddings.select(
+        F.col(id_col), v.alias(vec_col), best.cid.alias("centroid")
+    )
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k scanning only the n_probe nearest centroid buckets."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        return d / na if na else 0.0
+
+    probe = sorted(centroids, key=lambda c: -cos(query_vec, c[1]))[:n_probe]
+    probe_ids = [cid for cid, _ in probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = indexed.filter(F.col("centroid").isin(probe_ids))
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

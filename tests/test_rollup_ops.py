@@ -1,0 +1,77 @@
+"""Rollup operators: salted two-phase equivalence, grouping sets, totals,
+minSize/Other, and the explicit-repartition config path."""
+
+from pyspark.sql import functions as F
+
+from linguistjs_spark.config import QualityFilterConfig, REFERENCE_PARITY_CONFIG
+from linguistjs_spark.operators import rollup as R
+from linguistjs_spark.pipeline import run_pipeline
+from linguistjs_spark.sources.pages import pages_df
+
+
+def _labels(spark, cfg=None, n_bulk=120):
+    return run_pipeline(spark, pages_df(spark, n_bulk=n_bulk),
+                        cfg or REFERENCE_PARITY_CONFIG)
+
+
+def test_salted_rollup_equivalent(spark):
+    labels = _labels(spark).cache()
+    plain = {r["lang"]: r.asDict() for r in R.language_rollup(labels).collect()}
+    salted = {r["lang"]: r.asDict() for r in
+              R.salted_language_rollup(labels, salt_buckets=7).collect()}
+    assert plain == salted
+    labels.unpersist()
+
+
+def test_grouping_sets_consistency(spark):
+    labels = _labels(spark).cache()
+    rows = R.keep_reason_rollup(labels).collect()
+    total = [r for r in rows if r["grp"] == 3]
+    assert len(total) == 1
+    n_all = labels.count()
+    assert total[0]["n_docs"] == n_all
+    # per-lang rows sum to the grand total
+    per_lang = [r for r in rows if r["grp"] == 1]
+    assert sum(r["n_docs"] for r in per_lang) == n_all
+    # per-(lang, reason) rows sum to their lang row
+    fine = [r for r in rows if r["grp"] == 0]
+    for lr in per_lang:
+        subs = [r for r in fine if r["lang"] == lr["lang"]]
+        assert sum(r["n_docs"] for r in subs) == lr["n_docs"]
+    labels.unpersist()
+
+
+def test_min_size_other_preserves_totals(spark):
+    labels = _labels(spark)
+    roll = R.language_rollup(labels).cache()
+    merged = R.min_size_other(roll, min_bytes=500)
+    a = roll.agg(F.sum("bytes"), F.sum("n_docs")).collect()[0]
+    b = merged.agg(F.sum("bytes"), F.sum("n_docs")).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert merged.filter("lang = 'Other'").count() <= 1
+    roll.unpersist()
+
+
+def test_repartition_buckets_config_parity(spark):
+    """The north-rule explicit repartition must not change any label."""
+    base = {r["url"]: (r["keep"], r["keep_reason"], r["lang"])
+            for r in _labels(spark, n_bulk=60).collect()}
+    cfg = QualityFilterConfig(
+        child_languages=True, quality_rules=False, langid_fallback=False,
+        scrub_pii=False, toxicity_filter=False, repartition_buckets=8,
+    )
+    rep = {r["url"]: (r["keep"], r["keep_reason"], r["lang"])
+           for r in _labels(spark, cfg=cfg, n_bulk=60).collect()}
+    assert base == rep
+
+
+def test_totals_matches_rollup(spark):
+    labels = _labels(spark).cache()
+    t = R.totals(labels).collect()[0]
+    roll = R.language_rollup(labels).agg(
+        F.sum("bytes").alias("b"), F.sum("n_docs").alias("n")).collect()[0]
+    unk = R.unknown_rollup(labels).agg(
+        F.sum("bytes").alias("b"), F.sum("n_docs").alias("n")).collect()[0]
+    assert t["bytes"] == (roll["b"] or 0) + (unk["b"] or 0)
+    assert t["n_docs"] == (roll["n"] or 0) + (unk["n"] or 0)
+    labels.unpersist()

@@ -143,3 +143,22 @@ def test_resumable_run_idempotent(spark, tmp_path):
     # third run: everything skipped (fully idempotent)
     r3 = resumable_run(spark, pg, out + "/run", num_buckets=4)
     assert r3["processed"] == [] and len(r3["skipped"]) == 4
+
+
+def test_ivf_topk_recall(spark, emb):
+    import numpy as np
+
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids == 7][0]
+    cos = mat @ q / np.sqrt((mat * mat).sum(1) * (q @ q))
+    truth = set(ids[np.lexsort((ids, -cos))][:10])
+
+    cents = SIM.ivf_centroids(emb, n_centroids=8)
+    idx = SIM.with_ivf_buckets(emb, cents)
+    # every vector lands in exactly one bucket
+    assert idx.count() == len(rows)
+    got = {r["vec_id"] for r in SIM.ivf_topk(idx, cents, list(q), k=10,
+                                             n_probe=4).collect()}
+    assert len(got & truth) >= 5
