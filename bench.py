@@ -147,6 +147,22 @@ def main() -> None:
         t_pipe = min(t_a, t_b)
         queries["pipeline_rollup"] = round(t_pipe, 3)
 
+        # reference-comparable workload: the classification cascade alone
+        # (no quality/langid/scrub — the stages the reference doesn't have)
+        from linguistjs_spark.config import QualityFilterConfig
+        from linguistjs_spark.pipeline import run_pipeline
+
+        cascade_cfg = QualityFilterConfig(
+            quality_rules=False, langid_fallback=False,
+            scrub_pii=False, toxicity_filter=False,
+        )
+        pages_c = bench_pages(spark, SF_DIR, REPLICATE)
+        t, _ = timed(
+            lambda: run_pipeline(spark, pages_c, cascade_cfg)
+            .groupBy("lang").agg(F.count("*"), F.sum("bytes")).collect()
+        )
+        queries["cascade_only"] = round(t, 3)
+
         t, _ = timed(lambda: TS.doc_stats(docs).agg(
             F.sum("n_tokens"), F.sum("n_bpe_tokens")).collect())
         queries["text_stats"] = round(t, 3)
