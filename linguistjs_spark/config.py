@@ -23,6 +23,11 @@ class QualityFilterConfig:
     check_heuristics: bool = True
     check_shebang: bool = True
     check_modeline: bool = True
+    # Honest upstream-linguist heuristic semantics (AND groups must all
+    # match, negative_pattern blocks) instead of the reference's OR-flattened
+    # and/negative-ignoring behavior (src/index.ts:338-348; SURVEY.md §2.2
+    # C8 delta). Off by default for reference F1 parity.
+    honest_heuristics: bool = False
     # opts.keepVendored / keepBinary (src/index.ts:141,159)
     keep_vendored: bool = False
     keep_binary: bool = False

@@ -142,26 +142,47 @@ def _build(child_exclusive: bool = False) -> Metadata:
     for group in heur["disambiguations"]:
         rules = []
         for rule in group["rules"]:
-            # normalise pattern + named_pattern (+ future `and`) into one flat
-            # OR list, mirroring src/index.ts:338-348
-            pats: list[str] = []
+            def _expand(sub) -> tuple[list[str], list[str]]:
+                pos: list[str] = []
+                neg: list[str] = []
 
-            def _norm(p):
-                pats.extend([p] if isinstance(p, str) else list(p))
+                def _norm(p, into):
+                    into.extend([p] if isinstance(p, str) else list(p))
 
-            if rule.get("pattern"):
-                _norm(rule["pattern"])
-            if rule.get("named_pattern"):
-                _norm(named[rule["named_pattern"]])
-            for sub in rule.get("and", []):
                 if sub.get("pattern"):
-                    _norm(sub["pattern"])
+                    _norm(sub["pattern"], pos)
                 if sub.get("named_pattern"):
-                    _norm(named[sub["named_pattern"]])
+                    _norm(named[sub["named_pattern"]], pos)
+                if sub.get("negative_pattern"):
+                    _norm(sub["negative_pattern"], neg)
+                return pos, neg
+
+            own_pos, own_neg = _expand(rule)
+            and_groups = [own_pos] if own_pos else []
+            negatives = list(own_neg)
+            flat = list(own_pos)
+            for sub in rule.get("and", []):
+                sub_pos, sub_neg = _expand(sub)
+                if sub_pos:
+                    and_groups.append(sub_pos)
+                    flat.extend(sub_pos)
+                negatives.extend(sub_neg)
             rules.append(
                 {
                     "language": rule["language"],
-                    "patterns": [compile_pcre(p) for p in pats],
+                    # reference-compat form: pattern + named_pattern + and[]
+                    # flattened into one OR list, negative_pattern IGNORED —
+                    # mirroring src/index.ts:338-348 exactly (the reference
+                    # declares negative_pattern in schema.ts:26 but never
+                    # reads it; SURVEY.md §2.2 C8 records this delta)
+                    "patterns": [compile_pcre(p) for p in flat],
+                    # honest form (config.honest_heuristics): every AND group
+                    # must match (OR within a group), no negative may match —
+                    # upstream github-linguist semantics
+                    "and_groups": [
+                        [compile_pcre(p) for p in g] for g in and_groups
+                    ],
+                    "negatives": [compile_pcre(p) for p in negatives],
                 }
             )
         disambiguations.append(

@@ -117,7 +117,7 @@ class _KernelState:
                     lang = rule["language"]
                     group = self.md.languages.get(lang, {}).get("group")
                     if lang in cset or (group and group in cset):
-                        rules.append((lang, rule["patterns"]))
+                        rules.append((lang, rule))
                 if rules:
                     prog.append(rules)
             self._rule_programs[key] = prog
@@ -252,22 +252,43 @@ def classify_batch(
         texts = pd.Series([text_l[i] for i in idxs])
         m = len(idxs)
         res: list = [None] * m
+        honest = st.cfg.honest_heuristics
+
+        def _or_mask(patterns):
+            matched = None
+            for pat in patterns:
+                mm = texts.str.contains(pat, regex=True, na=False)
+                matched = mm if matched is None else (matched | mm)
+            return matched
+
         for group in prog:
             undecided = [True] * m
             grp_res: list = [None] * m
-            for lang, patterns in group:
+            for lang, rule in group:
                 if not any(undecided):
                     break
-                if not patterns:
-                    for j in range(m):
-                        if undecided[j]:
-                            grp_res[j] = lang
-                            undecided[j] = False
-                    continue
-                matched = None
-                for pat in patterns:
-                    mm = texts.str.contains(pat, regex=True, na=False)
-                    matched = mm if matched is None else (matched | mm)
+                if honest:
+                    matched = None
+                    for grp_pats in rule["and_groups"]:
+                        gm = _or_mask(grp_pats)
+                        matched = gm if matched is None else (matched & gm)
+                    for pat in rule["negatives"]:
+                        nm = ~texts.str.contains(pat, regex=True, na=False)
+                        matched = nm if matched is None else (matched & nm)
+                    if matched is None:  # pattern-free rule
+                        for j in range(m):
+                            if undecided[j]:
+                                grp_res[j] = lang
+                                undecided[j] = False
+                        continue
+                else:
+                    if not rule["patterns"]:
+                        for j in range(m):
+                            if undecided[j]:
+                                grp_res[j] = lang
+                                undecided[j] = False
+                        continue
+                    matched = _or_mask(rule["patterns"])
                 mt = matched.tolist()
                 for j in range(m):
                     if undecided[j] and mt[j]:

@@ -348,9 +348,16 @@ def narrow(
                 group = md.languages.get(lang, {}).get("group")
                 if lang not in candidates and not (group and group in candidates):
                     continue
-                if not rule["patterns"] or any(
-                    p.search(text) for p in rule["patterns"]
-                ):
+                if cfg.honest_heuristics:
+                    fires = all(
+                        any(p.search(text) for p in grp)
+                        for grp in rule["and_groups"]
+                    ) and not any(p.search(text) for p in rule["negatives"])
+                else:
+                    fires = not rule["patterns"] or any(
+                        p.search(text) for p in rule["patterns"]
+                    )
+                if fires:
                     # NOTE: the reference does NOT break the outer
                     # disambiguation loop — a later matching group overwrites
                     # (src/index.ts:357-360); replicated faithfully.
