@@ -33,7 +33,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 # run SLOWER than local[8]). N=4 -> 4N=16 keeps jvm+python threads within the
 # genuinely-free cores so the measurement reflects the engine, not the noise.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "24"))
 PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "128"))
 TEXT_X = int(os.environ.get("SPARK_GRAFT_TEXT_X", "4"))
 
