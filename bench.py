@@ -27,13 +27,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and local[32] + 32 python UDF workers oversubscribes it (measured local[32]
 # consistently slower than local[16]). Env-overridable.
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
-# Scaling pair default: local[4] vs local[16], NOT local[8]/local[32] — the
-# sandbox host carries ~5-8 load of background work, and a local[32] run plus
-# its 32 python UDF workers oversubscribes the box (measured: local[32] can
-# run SLOWER than local[8]). N=4 -> 4N=16 keeps jvm+python threads within the
-# genuinely-free cores so the measurement reflects the engine, not the noise.
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
-REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "24"))
+# Scaling pair default: local[2] vs local[8], NOT local[8]/local[32] — the
+# sandbox host carries ~5-8 load average of background work that is not ours,
+# and large core counts both oversubscribe the box (32 jvm threads + 32
+# python UDF workers; measured local[32] SLOWER than local[16]) and hit its
+# memory-bandwidth ceiling. At 2 and 8 cores both runs sit far inside the
+# genuinely-free cores, so the N->4N ratio measures the engine, not the
+# neighbours. Override with SPARK_GRAFT_SCALE_N.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
 PARTS = int(os.environ.get("SPARK_GRAFT_PARTS", "128"))
 TEXT_X = int(os.environ.get("SPARK_GRAFT_TEXT_X", "4"))
 
@@ -191,11 +193,8 @@ def main() -> None:
         s = make_spark(cores)
         try:
             run_pipeline_job(s, SF_DIR, 1)  # warm-up
-            # min of two timed runs: the sandbox host carries variable
-            # background load, and min is the standard noise-robust estimator
-            t1, n = timed(run_pipeline_job, s, SF_DIR, REPLICATE)
-            t2, n = timed(run_pipeline_job, s, SF_DIR, REPLICATE)
-            t_by_cores[cores] = min(t1, t2)
+            t, n = timed(run_pipeline_job, s, SF_DIR, REPLICATE)
+            t_by_cores[cores] = t
         finally:
             s.stop()
     t_n, t_4n = t_by_cores[SCALE_N], t_by_cores[SCALE_N * 4]
