@@ -214,6 +214,36 @@ def q_ann_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("score"), 4).alias("score_r"))
 
 
+def q_shingle_stats(spark, sf_dir):
+    # word-3-shingle counts per source: cross-checks the dedup shingle
+    # builder (hash-domain) against a string-domain SQL restatement
+    docs = _docs(spark, sf_dir)
+    sh = DD.shingle_hashes(F.col("text"), k=3)
+    return docs.groupBy("source").agg(
+        F.sum(F.size(sh)).cast("long").alias("n_shingles"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    # gap-based sessionization over the events stream table (30-min gap):
+    # lag window + cumulative session ids, then per-user session counts
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.col("ts") - prev  # day-time interval; exact in both engines
+    new_sess = F.when(
+        prev.isNull() | (gap > F.expr("INTERVAL 1800 SECONDS")), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -284,6 +314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unknown_rollup": q_unknown_rollup,
         "minsize_other": q_minsize_other,
         "top_langs": q_top_langs,
+        "shingle_stats": q_shingle_stats,
+        "user_sessions": q_user_sessions,
         "ann_topk": q_ann_topk,
         "events_by_type_day": q_events_by_type_day,
         "lineitem_summary": q_lineitem_summary,
@@ -461,6 +493,38 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) * "
             "list_inner_product(q.qv, q.qv)) DESC, vec_id ASC LIMIT 10"
         ),
+        "shingle_stats": r"""
+            WITH w AS (
+              SELECT source,
+                     list_filter(string_split(trim(lower(regexp_replace(
+                         text, '[ \t\r\n\f\x0B]+', ' ', 'g'))), ' '),
+                         x -> x <> '') AS words
+              FROM documents
+            )
+            SELECT source,
+                   CAST(SUM(CASE WHEN len(words) >= 3
+                        THEN len(list_distinct(list_transform(
+                             range(1, len(words) - 1),
+                             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])))
+                        ELSE 1 END) AS BIGINT) AS n_shingles,
+                   COUNT(*) AS n_docs
+            FROM w GROUP BY source
+        """,
+        "user_sessions": """
+            WITH s AS (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            OR ts - lag(ts) OVER
+                              (PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
         "events_by_type_day": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
             "COUNT(*) AS n_events, "
