@@ -67,6 +67,11 @@ class QualityFilterConfig:
     # Explicit repartition by xxhash64(url) before heavy UDF stages
     # (north-rule requirement; balances crawl-order skew). <=0 disables.
     repartition_buckets: int = 0
+    # Range-partition on text length instead of pure hash (straggler
+    # mitigation when document sizes vary by orders of magnitude: keeps
+    # per-task byte volume and Arrow batch sizes even; SURVEY.md §7 hard
+    # part d). Only used when repartition_buckets > 0.
+    repartition_by_length: bool = False
     # Salt buckets for the head-language rollup key (0 = rely on Spark's
     # partial aggregation, which already does map-side combine).
     rollup_salt_buckets: int = 0

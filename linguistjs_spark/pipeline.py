@@ -82,7 +82,16 @@ def run_pipeline(
     kept = kept.filter(F.col("text").isNotNull())
 
     if cfg.repartition_buckets > 0:
-        kept = kept.repartition(cfg.repartition_buckets, F.xxhash64("url"))
+        if cfg.repartition_by_length:
+            # range on byte-length first, url hash to spread within a bucket:
+            # equal-byte (not equal-row) tasks when doc sizes are skewed
+            kept = kept.repartitionByRange(
+                cfg.repartition_buckets,
+                F.octet_length("text"),
+                F.xxhash64("url"),
+            )
+        else:
+            kept = kept.repartition(cfg.repartition_buckets, F.xxhash64("url"))
 
     # C1 forced-language globs, resolved+collapsed at driver time (native)
     p = F.col("path")

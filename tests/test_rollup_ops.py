@@ -75,3 +75,17 @@ def test_totals_matches_rollup(spark):
     assert t["bytes"] == (roll["b"] or 0) + (unk["b"] or 0)
     assert t["n_docs"] == (roll["n"] or 0) + (unk["n"] or 0)
     labels.unpersist()
+
+def test_length_bucketed_repartition_parity(spark):
+    """Length-range partitioning (straggler mitigation) must not change any
+    label either."""
+    base = {r["url"]: (r["keep"], r["keep_reason"], r["lang"])
+            for r in _labels(spark, n_bulk=60).collect()}
+    cfg = QualityFilterConfig(
+        child_languages=True, quality_rules=False, langid_fallback=False,
+        scrub_pii=False, toxicity_filter=False,
+        repartition_buckets=8, repartition_by_length=True,
+    )
+    rep = {r["url"]: (r["keep"], r["keep_reason"], r["lang"])
+           for r in _labels(spark, cfg=cfg, n_bulk=60).collect()}
+    assert base == rep
