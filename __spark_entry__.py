@@ -268,6 +268,52 @@ def q_lineitem_summary(spark, sf_dir):
 # ---- rows-only queries (non-SQL-expressible; driver records weaker check) --
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    # Multi-table equi-join chain lineitem->orders->customer->nation with the
+    # dimension side broadcast (nation is 25 rows at any SF; customer joins
+    # shuffle under AQE — at 100 TB customer is not broadcastable, nation is).
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev_cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev_cents.cast("long")).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def q_orders_no_lineitem(spark, sf_dir):
+    # Left-anti join: orders with no lineitems, counted per priority.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_top_docs_per_lang(spark, sf_dir):
+    # Window top-k: 3 largest documents per language, deterministic tie-break.
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).withColumn("bytes", F.octet_length("text"))
+    w = Window.partitionBy("lang").orderBy(F.desc("bytes"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "doc_id", F.col("bytes").cast("long").alias("bytes"),
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def q_pipeline_labels(spark, sf_dir):
     pages = pages_from_documents(spark, sf_dir)
     labels = run_pipeline(spark, pages, QualityFilterConfig())
@@ -295,6 +341,36 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    # IVF ANN: centroid-bucketed index, scan only the n_probe nearest buckets
+    emb = _emb(spark, sf_dir)
+    qvec = [r[0] for r in emb.filter(F.col("vec_id") == 2).select(
+        F.explode("embedding")).collect()]
+    cents = SIM.ivf_centroids(emb, n_centroids=16)
+    idx = SIM.with_ivf_buckets(emb, cents)
+    return SIM.ivf_topk(idx, cents, qvec, k=10, n_probe=4).select(
+        "vec_id", F.round(F.col("score"), 4).alias("score_r")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    # Embedding-cosine near-dup pairs (hyperplane-LSH bucket join + verify).
+    # Random embeddings have no true near-dups, so plant deterministic ones:
+    # scaled copies (cosine-invariant) of vec_id < 8, offset ids — the query
+    # must recover exactly those planted pairs.
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+        "label",
+    )
+    return (
+        SIM.embedding_near_dup_pairs(emb.unionByName(planted), threshold=0.9, bits=8)
+        .select("a", "b", F.round(F.col("score"), 4).alias("score_r"))
+        .orderBy("a", "b")
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -319,7 +395,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_by_type_day": q_events_by_type_day,
         "lineitem_summary": q_lineitem_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "orders_no_lineitem": q_orders_no_lineitem,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "pipeline_labels": q_pipeline_labels,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -537,5 +618,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
             "AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name AS nation, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "orders_no_lineitem": (
+            "SELECT o_orderpriority AS priority, COUNT(*) AS n_orders "
+            "FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) "
+            "GROUP BY o_orderpriority"
+        ),
+        "top_docs_per_lang": (
+            "SELECT lang, doc_id, bytes, rk FROM ("
+            "SELECT lang, doc_id, CAST(strlen(text) AS BIGINT) AS bytes, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY strlen(text) DESC, doc_id ASC) AS BIGINT) AS rk "
+            "FROM documents) WHERE rk <= 3"
         ),
     }

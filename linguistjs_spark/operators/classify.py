@@ -27,9 +27,18 @@ import pandas as pd
 
 # Series.str.contains warns when a heuristic regex has capture groups; we
 # only want the boolean, so the warning is noise (fires per Arrow batch).
+# A module-level filterwarnings is not enough (pytest resets filters per
+# test), so the kernel routes all regex matching through _contains below.
 warnings.filterwarnings(
     "ignore", message="This pattern is interpreted as a regular expression"
 )
+
+
+def _contains(series: "pd.Series", pat: str) -> "pd.Series":
+    """Boolean regex match with the pandas capture-group warning silenced."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        return series.str.contains(pat, regex=True, na=False)
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -257,7 +266,7 @@ def classify_batch(
         def _or_mask(patterns):
             matched = None
             for pat in patterns:
-                mm = texts.str.contains(pat, regex=True, na=False)
+                mm = _contains(texts, pat)
                 matched = mm if matched is None else (matched | mm)
             return matched
 
@@ -273,7 +282,7 @@ def classify_batch(
                         gm = _or_mask(grp_pats)
                         matched = gm if matched is None else (matched & gm)
                     for pat in rule["negatives"]:
-                        nm = ~texts.str.contains(pat, regex=True, na=False)
+                        nm = ~_contains(texts, pat)
                         matched = nm if matched is None else (matched & nm)
                     if matched is None:  # pattern-free rule
                         for j in range(m):
