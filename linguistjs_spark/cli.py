@@ -81,6 +81,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     try:
         pages = spark.read.parquet(args.input)
+        missing = [c for c in ("url", "text") if c not in pages.columns]
+        if missing:
+            print(
+                f"error: input {args.input} is not a pages table — missing "
+                f"column(s) {', '.join(missing)}; expected schema "
+                "(url string, warc_ts timestamp, html binary, text string, "
+                "lang string), found: " + ", ".join(pages.columns),
+                file=sys.stderr,
+            )
+            return 2
         if args.buckets > 0 and args.output:
             from .streaming.resume import read_labels, resumable_run
 
