@@ -239,6 +239,14 @@ def classify_batch(
                 path_l[i], text_l[i], cands, False, True
             )
             continue
+        if len(cands) == 1:
+            # Heuristic rules are filtered to the candidate set
+            # (src/index.ts:331-336), so a single-candidate row can only
+            # resolve to that candidate whether or not any pattern matches
+            # — skip the regex pass entirely (and the pipeline skips
+            # shipping text for these rows, see content_needing_exts).
+            langs[i] = cands[0]
+            continue
         if (
             st.cfg.check_heuristics
             and ext_l[i] in st.heuristic_exts
@@ -322,6 +330,42 @@ def classify_batch(
             "from_shebang": out_shebang,
         }
     )
+
+
+def content_needing_exts(cfg: QualityFilterConfig) -> list[str]:
+    """Extensions whose rows can actually consume text in the kernel: the
+    bucket path only runs for multi-candidate rows with a non-empty rule
+    program, so the pipeline can null out the text column for every other
+    row before the Arrow transfer (the UDF's only other text consumers —
+    shebang/modeline rows — are gated separately on the first line).
+
+    Candidate sets per bucket ext come from three places, all enumerable at
+    driver time: the ext map itself, filename-map hits (bucketed by the
+    basename's final ext), and complex 2-dot suffix hits (bucketed by the
+    final 1-dot ext)."""
+    import re
+
+    st = _state(cfg)
+    out: set[str] = set()
+
+    def consider(ext: str, cands: list) -> None:
+        if (
+            len(cands) > 1
+            and ext in st.heuristic_exts
+            and st.rule_program(ext, tuple(cands))
+        ):
+            out.add(ext)
+
+    for ext, cands in st.ext_map.items():
+        if ext.count(".") >= 2:
+            consider("." + ext.rsplit(".", 1)[1], cands)
+        else:
+            consider(ext, cands)
+    for name, cands in st.filename_map.items():
+        m = re.search(r"(?<=[^/])(\.[^./]+)$", name)
+        if m:
+            consider(m.group(1), cands)
+    return sorted(out)
 
 
 def make_classify_udf(cfg: QualityFilterConfig):

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .config import QualityFilterConfig
 from .metadata import load_metadata
-from .operators.classify import make_classify_udf
+from .operators.classify import content_needing_exts, make_classify_udf
 from .operators.path_filters import forced_lang_col, override_attr_col, with_filter_flags
 from .operators.quality import lines_struct, quality_drop_reason_col, quality_struct
 from .operators.scrub import nl_lang_col, scrubbed_col, toxicity_hits_col
@@ -99,7 +99,27 @@ def run_pipeline(
     kept = kept.withColumn("forced_lang", forced)
 
     classify_udf = make_classify_udf(cfg)
-    kept = kept.withColumn("cls", classify_udf(F.col("path"), F.col("text")))
+    # Arrow-transfer gate: the kernel reads text only for shebang/modeline
+    # first lines and for multi-candidate heuristic-ext rows (both decidable
+    # natively). Null the column for every other row so the dominant
+    # fast-path rows ship ~nothing to the python worker.
+    first = F.substring_index(F.col("text"), "\n", 1)
+    needs_text = F.lit(not cfg.gate_udf_text)
+    if not cfg.quick:
+        if cfg.check_shebang:
+            needs_text = needs_text | first.startswith("#!")
+        if cfg.check_modeline:
+            needs_text = needs_text | first.rlike(r"(?U)-\*-|(syntax|filetype|ft)\s*=")
+    if cfg.check_heuristics:
+        hexts = content_needing_exts(cfg)
+        if hexts:
+            ext_col = F.regexp_extract(
+                F.lower(F.col("path")), r"(?<=[^/])(\.[^./]+)$", 1
+            )
+            needs_text = needs_text | ext_col.isin(hexts)
+    kept = kept.withColumn(
+        "cls", classify_udf(F.col("path"), F.when(needs_text, F.col("text")))
+    )
     kept = kept.select(
         "*",
         F.coalesce(F.col("forced_lang"), F.col("cls.lang")).alias("lang"),
