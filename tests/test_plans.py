@@ -80,3 +80,29 @@ def test_single_shuffle_for_rollup(spark, pages_parquet):
     n_base = base_plan.count("Exchange")
     n_roll = roll_plan.count("Exchange")
     assert n_roll - n_base <= 2, (n_base, n_roll)
+
+
+def test_revenue_join_broadcasts_dimension(spark):
+    """The nation dimension side of the join chain must be a broadcast hash
+    join — no shuffle of the fact side against a 25-row table."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["revenue_by_nation"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # and the lineitem scan must be column-pruned to the join/agg columns
+    schemas = scan_read_schemas(plan)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all("l_shipdate" not in s and "l_tax" not in s for s in li), li
+
+
+def test_anti_join_shape(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["orders_no_lineitem"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    # the lineitem side projects only the key
+    schemas = scan_read_schemas(plan)
+    assert any(s.strip().endswith("l_orderkey:bigint>") or "struct<l_orderkey" in s
+               for s in schemas), schemas
