@@ -371,6 +371,12 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_dedup_cardinality(spark, sf_dir):
+    # HLL++ scale path for dedup stats (rows-only: sketch values are
+    # engine-specific; the exact/approx tolerance is pytest-asserted)
+    return DD.dedup_cardinality(_docs(spark, sf_dir), rsd=0.02)
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -401,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "dedup_cardinality": q_dedup_cardinality,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,

@@ -61,6 +61,21 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_cardinality(
+    docs: DataFrame, text_col: str = "text", rsd: float = 0.02
+) -> DataFrame:
+    """Corpus dedup stats in one pass: exact distinct count plus the
+    HyperLogLog++ approximation that is the 100 TB scale path (no
+    count-distinct shuffle of the fingerprints — each partition contributes
+    a fixed-size sketch, merged at the driver)."""
+    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct(fp).alias("n_unique_exact"),
+        F.approx_count_distinct(fp, rsd).alias("n_unique_approx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -89,3 +89,13 @@ def test_length_bucketed_repartition_parity(spark):
     rep = {r["url"]: (r["keep"], r["keep_reason"], r["lang"])
            for r in _labels(spark, cfg=cfg, n_bulk=60).collect()}
     assert base == rep
+
+
+def test_dedup_cardinality_approx_within_tolerance(spark):
+    from linguistjs_spark.operators.dedup import dedup_cardinality
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    r = dedup_cardinality(docs, rsd=0.02).collect()[0]
+    assert r["n_docs"] >= r["n_unique_exact"] > 0
+    rel_err = abs(r["n_unique_approx"] - r["n_unique_exact"]) / r["n_unique_exact"]
+    assert rel_err < 0.05, (r["n_unique_exact"], r["n_unique_approx"], rel_err)
