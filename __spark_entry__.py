@@ -268,6 +268,53 @@ def q_lineitem_summary(spark, sf_dir):
 # ---- rows-only queries (non-SQL-expressible; driver records weaker check) --
 
 
+def q_langid_dist(spark, sf_dir):
+    # C10 langid fallback, oracle-checked: per-language doc counts over
+    # ASCII-only docs (RE2's \W is ASCII-only, so the tokenizations agree
+    # exactly there; non-ASCII script scoring is covered by the Python-oracle
+    # parity tests instead).
+    from linguistjs_spark.operators.scrub import nl_lang_col
+
+    d = _docs(spark, sf_dir).filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
+    return d.groupBy(nl_lang_col(F.col("text")).alias("nl_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB restatement of nl_lang_col's stopword scoring + argmax with
+    tie-to-greater-lang, generated from the same committed config."""
+    from linguistjs_spark.metadata import load_langid_config
+
+    conf = load_langid_config()
+    langs = sorted(conf["stopword_langs"])  # rank = alphabetical position
+    terms = []
+    for rank, lang in enumerate(langs):
+        words = ", ".join(f"'{w}'" for w in sorted(set(conf["stopword_langs"][lang])))
+        terms.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) * 100000 + {rank}"
+        )
+    decode = " ".join(
+        f"WHEN {rank} THEN '{lang}'" for rank, lang in enumerate(langs)
+    )
+    min_hits = conf["min_confidence_hits"]
+    return f"""
+        WITH t AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+                             x -> x <> '') AS toks
+          FROM documents
+          WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
+        ), s AS (
+          SELECT GREATEST({", ".join(terms)}) AS best FROM t
+        )
+        SELECT CASE WHEN best // 100000 >= {min_hits}
+                    THEN CASE best % 100000 {decode} END
+               END AS nl_lang,
+               COUNT(*) AS n_docs
+        FROM s GROUP BY 1
+    """
+
+
 def q_revenue_by_nation(spark, sf_dir):
     # Multi-table equi-join chain lineitem->orders->customer->nation with the
     # dimension side broadcast (nation is 25 rows at any SF; customer joins
@@ -401,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "events_by_type_day": q_events_by_type_day,
         "lineitem_summary": q_lineitem_summary,
+        "langid_dist": q_langid_dist,
         "revenue_by_nation": q_revenue_by_nation,
         "orders_no_lineitem": q_orders_no_lineitem,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -626,6 +674,7 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_price_cents "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
+        "langid_dist": _langid_oracle_sql(),
         "revenue_by_nation": (
             "SELECT n_name AS nation, COUNT(*) AS n_items, "
             "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "

@@ -29,7 +29,13 @@ def scrubbed_col(text: Column) -> Column:
     out = text
     for rule in load_scrub_config()["pii_rules"]:
         out = F.regexp_replace(out, _java(rule["pattern"]), rule["replacement"])
-    return out
+    # Presence gate: every PII rule's pattern requires a digit or '@'
+    # (emails need '@'; IP/SSN/CC/phone need digits), so texts without
+    # either are provably fixpoints of the chain — one cheap char-class
+    # scan replaces five full regexp_replace passes for them, and the
+    # CASE WHEN branch keeps the output byte-identical either way.
+    # (tests/test_pipeline_parity.py::test_scrub_gate_is_exact fuzzes this.)
+    return F.when(text.rlike("[0-9@]"), out).otherwise(text)
 
 
 def toxicity_hits_col(text: Column) -> Column:

@@ -113,3 +113,37 @@ def test_scrub_byte_identity(spark):
             assert got[url].encode("utf-8") == exp.scrubbed_text.encode("utf-8"), url
             checked += 1
     assert checked > 50
+
+
+def test_scrub_gate_is_exact(spark):
+    """The [0-9@] presence gate must be a true superset test: for any text
+    without digits or '@' the PII chain is the identity, and for texts WITH
+    them the gated column still equals the Python oracle byte-for-byte."""
+    import string
+
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.operators.scrub import scrubbed_col
+    from linguistjs_spark.oracle import scrub_text
+
+    # deterministic corpus: letters/punct-only rows (gate=False path) and
+    # PII-bearing rows (gate=True path), plus unicode edge rows
+    letters = string.ascii_letters + " .,!?-\n\t'\"()"
+    rng_rows = [
+        "".join(letters[(i * 7 + j) % len(letters)] for j in range(80))
+        for i in range(50)
+    ]
+    pii_rows = [
+        "mail a@b.co now", "ip 10.0.0.1", "ssn 123-45-6789",
+        "cc 4111 1111 1111 1111", "call +1 555 013 7777", "year 2024 only",
+        "v1.2.3 release", "café ☕ address 127.0.0.1", "@handle no digits",
+    ]
+    rows = [(i, t) for i, t in enumerate(rng_rows + pii_rows)]
+    df = spark.createDataFrame(rows, "i long, text string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", scrubbed_col(F.col("text")).alias("s")).collect()
+    }
+    for i, t in rows:
+        assert got[i].encode() == scrub_text(t).encode(), (i, t, got[i])
