@@ -32,17 +32,27 @@ def _nonblank(arr: Column) -> Column:
 
 
 def lines_struct(text: Column) -> Column:
-    """struct(total, content, code) — mirrors src/index.ts:426-432."""
+    """struct(total, content, code) — mirrors src/index.ts:426-432.
+
+    The two split arrays are let-bound so each evaluates once per row:
+    filter/aggregate lambdas run interpreted (outside codegen CSE), so a
+    bare reuse of `all_lines` would re-split the text per reference."""
+    from .dedup import _let
+
     all_lines = F.split(text, LINE_SPLIT_PAT)
     stripped = F.regexp_replace(
         F.regexp_replace(text, LINE_COMMENT_PAT, ""), BLOCK_COMMENT_PAT, ""
     )
     code_lines = F.split(stripped, LINE_SPLIT_PAT)
-    return F.struct(
-        F.size(all_lines).cast("long").alias("total"),
-        F.size(_nonblank(all_lines)).cast("long").alias("content"),
-        F.size(_nonblank(code_lines)).cast("long").alias("code"),
-    )
+
+    def build(b: Column) -> Column:
+        return F.struct(
+            F.size(b.getField("a")).cast("long").alias("total"),
+            F.size(_nonblank(b.getField("a"))).cast("long").alias("content"),
+            F.size(_nonblank(b.getField("c"))).cast("long").alias("code"),
+        )
+
+    return _let(F.struct(all_lines.alias("a"), code_lines.alias("c")), build)
 
 
 def words_col(text: Column) -> Column:
@@ -51,28 +61,39 @@ def words_col(text: Column) -> Column:
 
 def quality_struct(text: Column) -> Column:
     """struct(n_words, mean_word_len, symbol_ratio, dup_line_ratio) — the
-    same features as oracle.quality_features, computed JVM-side."""
+    same features as oracle.quality_features, computed JVM-side. The word
+    and nonblank-line arrays are let-bound (see lines_struct) so the text
+    splits once per row instead of once per referencing expression."""
+    from .dedup import _let
+
     words = words_col(text)
-    n_words = F.size(words).cast("long")
-    char_sum = F.aggregate(
-        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    mean_wl = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
-    sym_ratio = F.when(
-        F.length(text) > 0, F.regexp_count(text, F.lit(SYMBOL_PAT)) / F.length(text)
-    ).otherwise(F.lit(0.0))
     lines = _nonblank(F.split(text, LINE_SPLIT_PAT))
-    n_lines = F.size(lines)
-    dup_ratio = F.when(
-        n_lines > 0,
-        F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines,
-    ).otherwise(F.lit(0.0))
-    return F.struct(
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        sym_ratio.alias("symbol_ratio"),
-        dup_ratio.alias("dup_line_ratio"),
-    )
+
+    def build(b: Column) -> Column:
+        w = b.getField("w")
+        l = b.getField("l")
+        n_words = F.size(w).cast("long")
+        char_sum = F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        mean_wl = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
+        sym_ratio = F.when(
+            F.length(text) > 0,
+            F.regexp_count(text, F.lit(SYMBOL_PAT)) / F.length(text),
+        ).otherwise(F.lit(0.0))
+        n_lines = F.size(l)
+        dup_ratio = F.when(
+            n_lines > 0,
+            F.lit(1.0) - F.size(F.array_distinct(l)) / n_lines,
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            n_words.alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            sym_ratio.alias("symbol_ratio"),
+            dup_ratio.alias("dup_line_ratio"),
+        )
+
+    return _let(F.struct(words.alias("w"), lines.alias("l")), build)
 
 
 def quality_drop_reason_col(q: Column, cfg: QualityFilterConfig) -> Column:
