@@ -315,6 +315,22 @@ def _langid_oracle_sql() -> str:
     """
 
 
+def q_shipped_revenue_window(spark, sf_dir):
+    # Date-range scan: the l_shipdate predicate reaches the parquet scan as
+    # a pushed filter (tests/test_plans.py asserts it) — the row-group/
+    # partition-pruning story for time-partitioned fact tables at scale.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    win = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    return win.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+
+
 def q_revenue_by_nation(spark, sf_dir):
     # Multi-table equi-join chain lineitem->orders->customer->nation with the
     # dimension side broadcast (nation is 25 rows at any SF; customer joins
@@ -449,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type_day": q_events_by_type_day,
         "lineitem_summary": q_lineitem_summary,
         "langid_dist": q_langid_dist,
+        "shipped_revenue_window": q_shipped_revenue_window,
         "revenue_by_nation": q_revenue_by_nation,
         "orders_no_lineitem": q_orders_no_lineitem,
         "top_docs_per_lang": q_top_docs_per_lang,
@@ -675,6 +692,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "langid_dist": _langid_oracle_sql(),
+        "shipped_revenue_window": (
+            "SELECT l_returnflag, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS price_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1995-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-01-01' "
+            "GROUP BY l_returnflag"
+        ),
         "revenue_by_nation": (
             "SELECT n_name AS nation, COUNT(*) AS n_items, "
             "CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) "

@@ -202,8 +202,12 @@ def main() -> None:
         s = make_spark(cores)
         try:
             run_pipeline_job(s, SF_DIR, 1)  # warm-up
-            t, n_scale_docs = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
-            t_by_cores[cores] = t
+            # min-of-two: the host's background load comes in bursts long
+            # enough to wreck a single leg (observed a 2-core leg 25% slow
+            # while the 4N leg ran clean -> nonsense efficiency >1)
+            t1, n_scale_docs = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
+            t2, _ = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
+            t_by_cores[cores] = min(t1, t2)
         finally:
             s.stop()
     t_n, t_4n = t_by_cores[SCALE_N], t_by_cores[SCALE_N * 4]

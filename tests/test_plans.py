@@ -106,3 +106,12 @@ def test_anti_join_shape(spark):
     schemas = scan_read_schemas(plan)
     assert any(s.strip().endswith("l_orderkey:bigint>") or "struct<l_orderkey" in s
                for s in schemas), schemas
+
+
+def test_shipdate_predicate_pushdown(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["shipped_revenue_window"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    pf = pushed_filters(plan)
+    assert any("l_shipdate" in p for p in pf), pf
