@@ -38,8 +38,22 @@ def scrubbed_col(text: Column) -> Column:
     return F.when(text.rlike("[0-9@]"), out).otherwise(text)
 
 
-def toxicity_hits_col(text: Column) -> Column:
+def tokens_col(text: Column) -> Column:
+    """Lowered ``(?U)\\W+`` tokenization — the shared word stream for
+    langid and toxicity scoring (compute once per row, pass to both)."""
+    return F.split(F.lower(text), r"(?U)\W+")
+
+
+def toxicity_hits_col(text: Column, toks: Column | None = None) -> Column:
+    """Count of toxicity-word occurrences. With a pre-tokenized column the
+    count is array membership over the shared token stream (every word in
+    the list is \\w+-only and lowercase, so token equality equals the
+    case-insensitive \\b-bounded regex count — same argument as the langid
+    stopwords); without one it falls back to the single alternation scan."""
     conf = load_scrub_config()
+    if toks is not None:
+        warr = F.array(*[F.lit(w) for w in sorted(set(conf["toxicity_words"]))])
+        return F.size(F.filter(toks, lambda x: F.array_contains(warr, x)))
     pat = r"(?i)\b(" + "|".join(conf["toxicity_words"]) + r")\b"
     return F.regexp_count(text, F.lit(_java(pat)))
 
@@ -73,15 +87,16 @@ def fasttext_nl_lang_col(text: Column, model_path: str):
     return ft_udf(text)
 
 
-def nl_lang_col(text: Column) -> Column:
+def nl_lang_col(text: Column, toks: Column | None = None) -> Column:
     """argmax over per-language scores; ties break to the greater lang code,
     exactly like oracle._LangIdModel.predict (max over (score, lang)).
 
     Stopword scoring tokenizes ONCE (split on ``(?U)\\W+`` of the lowered
-    text, let-bound so the split runs once per row) and counts per-language
-    membership with array ops, instead of running one case-insensitive
-    alternation regex scan per language — every stopword is ``\\w+``-only, so
-    token equality is exactly the ``\\b word \\b`` match count the previous
+    text, let-bound so the split runs once per row — or reusing a shared
+    pre-tokenized column via `toks`) and counts per-language membership
+    with array ops, instead of running one case-insensitive alternation
+    regex scan per language — every stopword is ``\\w+``-only, so token
+    equality is exactly the ``\\b word \\b`` match count the previous
     formulation (and the Python oracle) computes, at one regex traversal of
     the text instead of eight. Script scores stay as single char-class
     regexp_count scans (DFA-cheap). Per-language scores are merged at DRIVER
@@ -89,7 +104,8 @@ def nl_lang_col(text: Column) -> Column:
     from .dedup import _let
 
     conf = load_langid_config()
-    toks = F.split(F.lower(text), r"(?U)\W+")
+    if toks is None:
+        toks = tokens_col(text)
     # One cheap pre-scan gates the 9 per-script scans: pure-ASCII text (the
     # overwhelming majority of a web corpus) can't hit any script class, and
     # CASE WHEN short-circuits per row, so those rows pay 1 scan, not 9.

@@ -190,6 +190,15 @@ def run_pipeline(
             ),
         )
     kept = kept.withColumn("quality", quality_struct(text))
+    # shared (?U)\W+ tokenization for langid + toxicity: materialized as a
+    # real column so each downstream reference reads it instead of
+    # re-splitting (cross-Project column reuse, unlike HOF lambda reuse)
+    share_toks = cfg.langid_fallback or cfg.toxicity_filter
+    if share_toks:
+        from .operators.scrub import tokens_col
+
+        kept = kept.withColumn("_toks", tokens_col(text))
+    toks = F.col("_toks") if share_toks else None
     if cfg.langid_fallback:
         nl = None
         if cfg.fasttext_model_path:
@@ -197,7 +206,7 @@ def run_pipeline(
 
             nl = fasttext_nl_lang_col(text, cfg.fasttext_model_path)
         if nl is None:
-            nl = nl_lang_col(text)
+            nl = nl_lang_col(text, toks=toks)
     else:
         nl = F.lit(None).cast("string")
     kept = kept.withColumn("nl_lang", nl)
@@ -225,7 +234,7 @@ def run_pipeline(
         tox_reason = F.when(
             (F.col("quality.n_words") > 0)
             & (
-                toxicity_hits_col(text) / F.col("quality.n_words")
+                toxicity_hits_col(text, toks=toks) / F.col("quality.n_words")
                 > cfg.toxicity_max_ratio
             ),
             F.lit("toxicity"),
