@@ -214,6 +214,25 @@ def q_ann_topk(spark, sf_dir):
     return top.select("vec_id", F.round(F.col("score"), 4).alias("score_r"))
 
 
+def q_jaccard_pairs(spark, sf_dir):
+    # Exact word-3-shingle Jaccard for a bounded pair set, cross-checked
+    # against a string-domain DuckDB restatement (hash-domain == string-
+    # domain set sizes absent 64-bit collisions). jac_ppm in integer ppm.
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30)
+    d = docs.select("doc_id", DD.shingle_hashes(F.col("text"), k=3).alias("sh"))
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.round(F.lit(1000000.0) * inter / union).cast("long").alias("jac_ppm"),
+        )
+    )
+
+
 def q_shingle_stats(spark, sf_dir):
     # word-3-shingle counts per source: cross-checks the dedup shingle
     # builder (hash-domain) against a string-domain SQL restatement
@@ -460,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minsize_other": q_minsize_other,
         "top_langs": q_top_langs,
         "shingle_stats": q_shingle_stats,
+        "jaccard_pairs": q_jaccard_pairs,
         "user_sessions": q_user_sessions,
         "ann_topk": q_ann_topk,
         "events_by_type_day": q_events_by_type_day,
@@ -646,6 +666,28 @@ def oracle_sql() -> dict[str, str]:
             "SQRT(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) * "
             "list_inner_product(q.qv, q.qv)) DESC, vec_id ASC LIMIT 10"
         ),
+        "jaccard_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(lower(regexp_replace(
+                         text, '[ \t\r\n\f\x0B]+', ' ', 'g'))), ' '),
+                         x -> x <> '') AS words
+              FROM documents WHERE doc_id < 30
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN len(words) >= 3
+                          THEN list_distinct(list_transform(
+                               range(1, len(words) - 1),
+                               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                          ELSE [array_to_string(words, ' ')] END AS sh
+              FROM w
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(ROUND(1000000.0 * len(list_intersect(a.sh, b.sh))
+                        / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT)
+                   AS jac_ppm
+            FROM s a, s b WHERE a.doc_id < b.doc_id
+        """,
         "shingle_stats": r"""
             WITH w AS (
               SELECT source,

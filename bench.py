@@ -58,7 +58,10 @@ def make_spark(cores: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # 8192 measured ~8% faster than 2048 on the cascade (fewer
+        # per-batch serialization round-trips; 8 KB texts x 8192 = 64 MB
+        # per in-flight batch, well inside executor memory)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -99,3 +99,44 @@ def test_dedup_cardinality_approx_within_tolerance(spark):
     assert r["n_docs"] >= r["n_unique_exact"] > 0
     rel_err = abs(r["n_unique_approx"] - r["n_unique_exact"]) / r["n_unique_exact"]
     assert rel_err < 0.05, (r["n_unique_exact"], r["n_unique_approx"], rel_err)
+
+
+def test_salted_rollup_spreads_head_language(spark):
+    """Skew evidence: on a 95%-one-language corpus the salted partial stage
+    must spread the head key across many (lang, salt) groups — the rows a
+    single reducer would otherwise absorb — while the final rollup stays
+    identical to the unsalted one."""
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.operators import rollup as R
+
+    n = 2000
+    labels = spark.range(n).select(
+        F.concat(F.lit("http://s/d"), F.col("id")).alias("url"),
+        F.when(F.col("id") % 20 == 0, F.lit("Python"))
+        .otherwise(F.lit("Text"))
+        .alias("lang"),
+        F.lit(True).alias("keep"),
+        (F.col("id") % 100 + 1).cast("long").alias("bytes"),
+        F.struct(
+            F.lit(3).cast("long").alias("total"),
+            F.lit(2).cast("long").alias("content"),
+            F.lit(1).cast("long").alias("code"),
+        ).alias("lines"),
+    )
+    salt_buckets = 16
+    partial = (
+        labels.filter(F.col("keep") & F.col("lang").isNotNull())
+        .withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+        .groupBy("lang", "_salt")
+        .agg(F.count("*").alias("n"))
+    )
+    head = partial.filter(F.col("lang") == "Text").collect()
+    assert len(head) == salt_buckets  # head key split across every bucket
+    counts = sorted(r["n"] for r in head)
+    assert counts[-1] < 0.95 * n * 0.25, counts  # no bucket re-concentrates
+
+    plain = {r["lang"]: r.asDict() for r in R.language_rollup(labels).collect()}
+    salted = {r["lang"]: r.asDict() for r in
+              R.salted_language_rollup(labels, salt_buckets=salt_buckets).collect()}
+    assert plain == salted
