@@ -263,6 +263,33 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_event_rate_windows(spark, sf_dir):
+    # Tumbling 6-hour window aggregation via F.window — the batch shape of
+    # the streaming windowed-agg operator; oracle restates with epoch
+    # bucketing arithmetic.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = F.window("ts", "6 hours")
+    return ev.groupBy(
+        w.start.alias("win_start"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    # Exact interpolated percentiles of document length per source
+    # (percentile == DuckDB quantile_cont); the approximate sketch path
+    # (approx_percentile) is tolerance-tested in pytest instead.
+    d = _docs(spark, sf_dir).withColumn("len", F.octet_length("text"))
+    return d.groupBy("source").agg(
+        F.expr("CAST(ROUND(percentile(len, 0.5) * 100) AS BIGINT)").alias("p50_c"),
+        F.expr("CAST(ROUND(percentile(len, 0.9) * 100) AS BIGINT)").alias("p90_c"),
+        F.expr("CAST(ROUND(percentile(len, 0.99) * 100) AS BIGINT)").alias("p99_c"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 def q_events_by_type_day(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy(
@@ -481,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "user_sessions": q_user_sessions,
+        "event_rate_windows": q_event_rate_windows,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "ann_topk": q_ann_topk,
         "events_by_type_day": q_events_by_type_day,
         "lineitem_summary": q_lineitem_summary,
@@ -720,6 +749,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM s GROUP BY user_id
         """,
+        "event_rate_windows": (
+            # tumbling window start = epoch floor-div by 6h; events ts are
+            # timestamps, compare via epoch arithmetic in both engines
+            "SELECT CAST(to_timestamp(CAST(epoch(ts) AS BIGINT) // 21600 * 21600) "
+            "AS TIMESTAMP) AS win_start, event_type, COUNT(*) AS n_events, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "doc_length_quantiles": (
+            "SELECT source, "
+            "CAST(ROUND(quantile_cont(strlen(text), 0.5) * 100) AS BIGINT) AS p50_c, "
+            "CAST(ROUND(quantile_cont(strlen(text), 0.9) * 100) AS BIGINT) AS p90_c, "
+            "CAST(ROUND(quantile_cont(strlen(text), 0.99) * 100) AS BIGINT) AS p99_c, "
+            "COUNT(*) AS n_docs "
+            "FROM documents GROUP BY source"
+        ),
         "events_by_type_day": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
             "COUNT(*) AS n_events, "

@@ -140,3 +140,19 @@ def test_salted_rollup_spreads_head_language(spark):
     salted = {r["lang"]: r.asDict() for r in
               R.salted_language_rollup(labels, salt_buckets=salt_buckets).collect()}
     assert plain == salted
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """approx_percentile (the 100 TB sketch path) must track the exact
+    interpolated percentile within a few percent on the docs table."""
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .withColumn("len", F.octet_length("text"))
+    )
+    r = d.agg(
+        F.expr("percentile(len, 0.9)").alias("exact"),
+        F.expr("approx_percentile(len, 0.9, 10000)").alias("approx"),
+    ).collect()[0]
+    assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05, r
