@@ -44,6 +44,18 @@ CASES = [
     ("forth.fr", "new-device 1", "Forth"),
     ("raku", "#!/usr/bin/env perl6\n module", "Raku"),
     ("unknown", "Unknown", None),
+    # snapshot-expansion coverage: filename map, shebang interpreters,
+    # multi-candidate default-first ordering, plain ext hits
+    ("Makefile", "all:\n\tcc main.c", "Makefile"),
+    ("BUILD", "cc_library(name = 'x')", "Starlark"),
+    ("awk_filter", "#!/usr/bin/awk -f\n{print}", "Awk"),
+    ("guide.rst", "Title\n=====", "reStructuredText"),
+    ("app.mm", "", "Objective-C++"),  # [Objective-C++, XML]: first wins
+    ("flake.nix", "{ outputs = _: {}; }", "Nix"),
+    ("query.graphql", "query { id }", "GraphQL"),
+    ("main.rkt", "#lang racket", "Racket"),
+    ("schema.proto", "syntax = \"proto3\";", "Protocol Buffer"),
+    ("contract.sol", "pragma solidity ^0.8.0;", "Solidity"),
 ]
 
 DROPS = [
