@@ -26,8 +26,17 @@ _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 
 
 def _load_json(name: str) -> dict:
-    with open(os.path.join(_DATA_DIR, name), "r", encoding="utf-8") as fh:
-        return json.load(fh)
+    """Load a snapshot file. importlib.resources (not a bare open on a
+    __file__-relative path) so the package also works imported from the
+    spark-submit --py-files zip, where data/ is inside the archive."""
+    try:
+        from importlib import resources
+
+        ref = resources.files(__package__) / "data" / name
+        return json.loads(ref.read_text(encoding="utf-8"))
+    except (FileNotFoundError, ModuleNotFoundError, TypeError):
+        with open(os.path.join(_DATA_DIR, name), "r", encoding="utf-8") as fh:
+            return json.load(fh)
 
 
 def glob_to_regex(glob: str) -> str:
