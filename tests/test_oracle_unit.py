@@ -150,3 +150,33 @@ def test_binary_sniff():
     assert not r.keep and r.keep_reason == "binary-content"
     r = analyse_document("https://x/image.png", "", html=b"\x89PNG\x00", cfg=CFG)
     assert not r.keep and r.keep_reason == "binary-ext"
+
+
+def test_metadata_loads_from_pyfiles_zip(tmp_path):
+    """Regression: the snapshot must load when the package is imported from
+    a spark-submit --py-files style zip (data/ inside the archive), not
+    just from the filesystem checkout."""
+    import os
+    import subprocess
+    import sys
+    import zipfile
+
+    z = tmp_path / "pkg.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for root, _, files in os.walk("/root/repo/linguistjs_spark"):
+            for f in files:
+                if f.endswith(".pyc"):
+                    continue
+                p = os.path.join(root, f)
+                zf.write(p, os.path.relpath(p, "/root/repo"))
+    code = (
+        f"import sys; sys.path.insert(0, {str(z)!r}); "
+        "from linguistjs_spark.metadata import load_metadata; "
+        "print(len(load_metadata().languages))"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    assert int(out.stdout.strip()) >= 140
