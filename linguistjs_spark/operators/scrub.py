@@ -136,6 +136,15 @@ def nl_lang_col(text: Column, toks: Column | None = None) -> Column:
             entries.append(F.struct(total.alias("score"), F.lit(lang).alias("lang")))
         best = F.greatest(*entries)
         min_hits = conf["min_confidence_hits"]
-        return F.when(best.score >= min_hits, best.lang).otherwise(F.lit(None))
+        # let-bind `best`: referencing it twice (condition + value) would
+        # duplicate the entire greatest(...) tree in the plan — runtime
+        # subexpr elimination hides the execution cost, but the doubled
+        # tree still inflates Catalyst analysis/optimization time
+        return _let(
+            best,
+            lambda b: F.when(
+                b.getField("score") >= min_hits, b.getField("lang")
+            ).otherwise(F.lit(None)),
+        )
 
     return _let(bound, build)
