@@ -132,6 +132,30 @@ class _KernelState:
             self._rule_programs[key] = prog
         return prog
 
+    def needs_heuristics(self, ext: str, cands: tuple) -> bool:
+        """True when running the rule program could change the outcome.
+
+        A single-candidate row is NOT automatically safe to short-circuit:
+        a rule's language may be a CHILD of the candidate (matched via its
+        group, src/index.ts:331-336) and the reference assigns the rule's
+        raw language — e.g. ext .pod collapses to ['Raku'] but its rule
+        yields 'Pod 6'. Skip only when every applicable rule's language
+        equals the single candidate (then any match is a no-op)."""
+        key = ("_needs", ext, cands)
+        hit = self._rule_programs.get(key)
+        if hit is None:
+            prog = self.rule_program(ext, cands)
+            if not prog:
+                hit = False
+            elif len(cands) > 1:
+                hit = True
+            else:
+                hit = any(
+                    lang != cands[0] for group in prog for lang, _ in group
+                )
+            self._rule_programs[key] = hit
+        return hit
+
     def classify_slow(self, path: str, text: str | None) -> tuple[list[str], bool, bool]:
         return oracle.classify(self.md, self.cfg, path, text, overrides=[])
 
@@ -239,21 +263,18 @@ def classify_batch(
                 path_l[i], text_l[i], cands, False, True
             )
             continue
-        if len(cands) == 1:
-            # Heuristic rules are filtered to the candidate set
-            # (src/index.ts:331-336), so a single-candidate row can only
-            # resolve to that candidate whether or not any pattern matches
-            # — skip the regex pass entirely (and the pipeline skips
-            # shipping text for these rows, see content_needing_exts).
-            langs[i] = cands[0]
-            continue
         if (
             st.cfg.check_heuristics
             and ext_l[i] in st.heuristic_exts
             and text_l[i] is not None
+            and st.needs_heuristics(ext_l[i], tuple(cands))
         ):
             buckets.setdefault((ext_l[i], tuple(cands)), []).append(i)
             continue
+        # No rule program can change the answer (none applicable, or every
+        # applicable rule's language == the single candidate): first
+        # candidate wins without a regex pass — and the pipeline ships no
+        # text for these rows (content_needing_exts uses the same test).
         langs[i] = cands[0]
         alts[i] = list(cands[1:])
 
@@ -349,11 +370,7 @@ def content_needing_exts(cfg: QualityFilterConfig) -> list[str]:
     out: set[str] = set()
 
     def consider(ext: str, cands: list) -> None:
-        if (
-            len(cands) > 1
-            and ext in st.heuristic_exts
-            and st.rule_program(ext, tuple(cands))
-        ):
+        if ext in st.heuristic_exts and st.needs_heuristics(ext, tuple(cands)):
             out.add(ext)
 
     for ext, cands in st.ext_map.items():
