@@ -17,6 +17,9 @@ _EXTS = [
     "", ".js", ".cpp", ".c", ".m", ".cs", ".ecl", ".fr", ".php", ".asc",
     ".pl", ".pm", ".txt", ".md", ".py", ".tsx", ".antlers.php", ".other.php",
     ".h", ".rs", ".ts", ".pod", ".xyz", ".tar.gz", ".d.ts",
+    # snapshot-expansion exts incl. the .mm overlap and group-child cases
+    ".mm", ".rst", ".nix", ".rkt", ".scm", ".sv", ".tcl", ".raku", ".p6",
+    ".pp", ".tpl", ".v", ".sol", ".org",
 ]
 _NAMES = ["x", "file", "doc", "a.b", "Dockerfile", "CMakeLists.txt",
           "tsconfig.json", ".m", "XCompose", "Pipfile", "gradlew", "UPPER"]
@@ -52,10 +55,21 @@ def _oracle_one(path, text, cfg):
     return lang, alts, definite, fsb
 
 
+from linguistjs_spark.config import QualityFilterConfig
+
+_FUZZ_CONFIGS = (
+    REFERENCE_PARITY_CONFIG,
+    DEFAULT_CONFIG,
+    QualityFilterConfig(honest_heuristics=True),
+    QualityFilterConfig(quick=True),
+    QualityFilterConfig(child_languages=True),
+)
+
+
 @settings(max_examples=300, deadline=None)
 @given(st.lists(st.tuples(paths, texts), min_size=1, max_size=25))
 def test_kernel_matches_oracle(rows):
-    for cfg in (REFERENCE_PARITY_CONFIG, DEFAULT_CONFIG):
+    for cfg in _FUZZ_CONFIGS:
         cfg = cfg.effective_flags()
         p = pd.Series([r[0] for r in rows])
         t = pd.Series([r[1] for r in rows])
