@@ -162,3 +162,21 @@ def test_ivf_topk_recall(spark, emb):
     got = {r["vec_id"] for r in SIM.ivf_topk(idx, cents, list(q), k=10,
                                              n_probe=4).collect()}
     assert len(got & truth) >= 5
+
+
+def test_minhash_survives_bucket_skew(spark):
+    """Pathological LSH skew: 300 near-identical docs collapse into the
+    same band buckets, producing one giant candidate bucket (~45k pairs).
+    The pass must complete and the exact-Jaccard verify must confirm the
+    planted near-duplicates — the small-scale shape of AQE skew handling
+    on the bucket self-join."""
+    from linguistjs_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [(i, base + f"tail marker {i % 5}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.8)
+    n = pairs.count()
+    # every same-tail pair is a true near-dup (60 docs per tail group);
+    # cross-tail pairs also exceed 0.8 jaccard given the shared 180-word base
+    assert n >= 5 * (60 * 59 // 2), n
