@@ -35,7 +35,39 @@ _FLAG_MAP = {
 }
 
 
-def convert_pcre(pattern: str) -> tuple[str, int]:
+def _dequadratic(pat: str) -> str:
+    """Neutralize multiline backtracking bombs, existence-equivalently.
+
+    Under MULTILINE, ``^\\s*X`` tried at every line start of a long
+    newline run greedily consumes the entire remaining run and backtracks
+    — O(lines × length) ≈ quadratic; a single whitespace-heavy crawl page
+    pins a core for minutes (the reference has the same bomb in JS).
+
+    Rewrites (match-existence equivalence argued below, and empirically
+    checked pattern-by-pattern in tests/test_pcre_dequadratic.py):
+
+    - ``^\\s*`` -> ``^[^\\S\\n]*``: if the original matches by consuming
+      whitespace across newlines down to line j, then ``^`` anchors at
+      line j directly and the intra-line form matches there too (the
+      continuation never starts with a whitespace consumer in the
+      snapshot); conversely intra-line matches are original matches.
+    - whole-pattern ``^[^#]+:-`` -> ``(?:^[^#\\n]+:-)|(?:^[^#\\n]*\\n:-)``:
+      a cross-line match implies the line directly before the ``:-`` is
+      '#'-free (second branch), or the same-line prefix is non-empty and
+      '#'-free (first branch); the branches imply the original with the
+      ``\\n`` or the prefix supplying the required >=1 character.
+    """
+    if pat == r"^[^#]+:-":
+        return r"(?:^[^#\n]+:-)|(?:^[^#\n]*\n:-)"
+    if pat == r"^[^#]*:-":
+        # with * the cross-line prefix is optional, so the ':-' line's own
+        # '#'-free prefix always witnesses the match — pure line-local form
+        return r"^[^#\n]*:-"
+    pat = pat.replace(r"(?:^|\n)\s*", r"(?:^|\n)[^\S\n]*")
+    return pat.replace(r"^\s*", r"^[^\S\n]*")
+
+
+def convert_pcre(pattern: str, dequadratic: bool = True) -> tuple[str, int]:
     """Convert a PCRE pattern string to (python_pattern, flags)."""
     final = pattern
     flags: set[str] = set()
@@ -76,6 +108,9 @@ def convert_pcre(pattern: str) -> tuple[str, int]:
         final = re.sub(r"#.+", "", final)
         final = re.sub(r"^\s+|\s+$|\n", "", final, flags=re.MULTILINE)
         final = re.sub(r"\s+", " ", final)
+
+    if dequadratic and "m" in flags:
+        final = _dequadratic(final)
 
     py_flags = 0
     for ch in flags:

@@ -1,0 +1,88 @@
+"""The de-quadratic pattern rewrites must be match-existence-equivalent to
+the originals on realistic inputs, and fast on adversarial ones."""
+
+import re
+import time
+
+import pytest
+
+from linguistjs_spark.metadata import load_metadata
+from linguistjs_spark.pcre import convert_pcre
+from linguistjs_spark.sources.pages import SEED_CASES
+
+
+def _all_raw_patterns():
+    import json
+
+    from linguistjs_spark.metadata import _load_json
+
+    h = _load_json("heuristics.json")
+    out = []
+    for d in h["disambiguations"]:
+        for r in d["rules"]:
+            for key in ("pattern", "negative_pattern"):
+                v = r.get(key)
+                if isinstance(v, str):
+                    out.append(v)
+                elif isinstance(v, list):
+                    out.extend(v)
+            for sub in r.get("and", []) or []:
+                for key in ("pattern", "negative_pattern"):
+                    v = sub.get(key)
+                    if isinstance(v, str):
+                        out.append(v)
+                    elif isinstance(v, list):
+                        out.extend(v)
+            np = r.get("named_pattern")
+            if np:
+                v = h["named_patterns"][np]
+                out.extend([v] if isinstance(v, str) else v)
+    return sorted(set(out))
+
+
+# equivalence corpus: every fixture text + structured probes around the
+# rewrite's edge cases (leading blank lines, whitespace mixes, '#' rows,
+# ':-' at line starts/ends/file start)
+_PROBES = [
+    "", "\n", "\n\n", "  \n  x", "\t\nimport a", ":-", "x:-", "\n:-",
+    "#x\n:-", "x\n:-", "#\n:-", "a#b:-", "  :- y", "\n\n\n:-",
+    "  \n\t\n namespace x {", "% comment\nfunction y =", "template <t>",
+    "\r\n@interface", "  \r\n  #include <vector>", "use constant FOO;",
+    "\n  \n*EXPORT =", "a\n\nb\n\n:-", "# only comments\n# more",
+    " \t\v\f\r\nmodule X", "SELECT 1", "\nCREATE TABLE t", "x = 1;\n" * 50,
+]
+
+
+@pytest.mark.parametrize("raw", _all_raw_patterns())
+def test_rewrite_is_existence_equivalent(raw):
+    p_new, f_new = convert_pcre(raw, dequadratic=True)
+    p_old, f_old = convert_pcre(raw, dequadratic=False)
+    r_new = re.compile(p_new, f_new)
+    r_old = re.compile(p_old, f_old)
+    corpus = list(_PROBES) + [t for _, t in SEED_CASES]
+    for text in corpus:
+        assert bool(r_new.search(text)) == bool(r_old.search(text)), (
+            raw, text[:60],
+        )
+
+
+def test_all_heuristic_patterns_fast_on_adversarial_input():
+    md = load_metadata()
+    adversarial = [
+        "\n" * 50000, " " * 50000, ("\n " * 25000), "a" * 50000,
+        ("import " * 7000) + "!", ("x = 1;\n" * 7000), ("#\n" * 25000),
+    ]
+    pats = []
+    for d in md.disambiguations:
+        for r in d["rules"]:
+            for grp in r.get("and_groups", []) or []:
+                pats.extend(grp)
+            pats.extend(r.get("negatives", []) or [])
+    assert pats
+    for text in adversarial:
+        for pat in pats:
+            t0 = time.perf_counter()
+            pat.search(text)
+            assert time.perf_counter() - t0 < 0.1, (
+                pat.pattern[:70], text[:20],
+            )
