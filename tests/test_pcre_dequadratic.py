@@ -86,3 +86,29 @@ def test_all_heuristic_patterns_fast_on_adversarial_input():
             assert time.perf_counter() - t0 < 0.1, (
                 pat.pattern[:70], text[:20],
             )
+
+
+def test_scrub_patterns_fast_on_adversarial_input():
+    """The PII patterns must stay near-linear on pathological inputs: the
+    unbounded email local-part once cost O(n^2) rescans on digit runs
+    (240s for one 200KB page); the RFC-5321-bounded {0,63} form is O(64)
+    per failed position. Python re timings proxy the Java engine (both
+    backtracking NFAs with the same pattern)."""
+    import re as _re
+    import time as _time
+
+    from linguistjs_spark.metadata import load_scrub_config
+
+    adversarial = [
+        "9" * 200000, "99." * 60000, "1.2.3." * 30000,
+        ("a" * 100000) + "@" + ("b" * 90000), "a@" + "b" * 150000,
+        ("9" * 100 + "@") * 1500,
+    ]
+    for rule in load_scrub_config()["pii_rules"]:
+        pat = _re.compile(rule["pattern"])
+        for text in adversarial:
+            t0 = _time.perf_counter()
+            pat.sub(rule["replacement"], text)
+            assert _time.perf_counter() - t0 < 1.0, (
+                rule["replacement"], text[:20],
+            )
