@@ -74,7 +74,11 @@ def glob_to_regex(glob: str) -> str:
             out.append(c)
         i += 1
     body = "".join(out)
-    prefix = "^" if anchored else "(^|.*/)"
+    # "(^|/)" not "(^|.*/)": every consumer applies these with search
+    # semantics (rlike / re.search), where the two are existence-equivalent
+    # — and the ".*/" branch re-consumed the whole path from every start
+    # position (O(len^2): one 100KB url cost ~6s per glob in both engines)
+    prefix = "^" if anchored else "(^|/)"
     # gitignore: a matching directory name also ignores everything beneath it
     return f"{prefix}{body}(/.*)?$"
 
@@ -229,7 +233,11 @@ def _build(child_exclusive: bool = False) -> Metadata:
         vendor_alt=_alt(filters["vendor"]),
         documentation_alt=_alt(filters["documentation"]),
         generated_alt=_alt(filters["generated"]),
-        binary_ext_alt="(?i).*\\.(" + "|".join(sorted(binary_exts)) + ")$",
+        # no ".*" prefix: rlike is an unanchored search, so the prefix is
+        # existence-redundant — and under Java's per-start-position retry it
+        # made the scan O(len^2) per url (a 50KB adversarial url cost ~60s;
+        # the "\." start means the engine only attempts at dots)
+        binary_ext_alt="(?i)\\.(" + "|".join(sorted(binary_exts)) + ")$",
     )
 
 

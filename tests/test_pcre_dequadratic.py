@@ -112,3 +112,65 @@ def test_scrub_patterns_fast_on_adversarial_input():
             assert _time.perf_counter() - t0 < 1.0, (
                 rule["replacement"], text[:20],
             )
+
+
+def test_url_filter_patterns_fast_on_adversarial_urls():
+    """Vendor/documentation/generated URL regexes must stay fast on
+    pathological paths (they run as one big Java rlike over every url):
+    the upstream '([^\\s]*)import\\.css$' form was O(n^2) — its optional
+    prefix group is existence-redundant and has been dropped."""
+    import json
+    import re as _re
+    import time as _time
+
+    from linguistjs_spark.metadata import _load_json
+
+    f = _load_json("filters.json")
+    adversarial = [
+        "/bootstrap" + "." * 50000 + ".js", "/" * 50000 + "x.js",
+        "/x" + "-min" * 20000 + ".js", "/jquery" + "a" * 50000 + ".js",
+        "/" + "a" * 100000 + ".txt", "/" + "x" * 50000 + "import.css",
+    ]
+    pats = [
+        p
+        for key in ("vendor", "documentation", "generated")
+        for p in f[key]
+        if isinstance(p, str)
+    ]
+    assert pats
+    for url in adversarial:
+        for p in pats:
+            rx = _re.compile(p, _re.IGNORECASE)
+            t0 = _time.perf_counter()
+            rx.search(url)
+            assert _time.perf_counter() - t0 < 0.1, (p[:70], url[:25])
+
+
+def test_glob_regexes_fast_and_equivalent():
+    """glob_to_regex must emit '(^|/)' not '(^|.*/)' — search-equivalent,
+    but the '.*/' branch cost O(len^2) per url (~6s for one 100KB path per
+    glob, applied to EVERY row)."""
+    import re as _re
+    import time as _time
+
+    from linguistjs_spark.metadata import glob_to_regex
+
+    cases = [
+        (".git/", "/deep/.git/config", True),
+        (".git/", "/.git/HEAD", True),
+        (".git/", "/not-git/x", False),
+        ("*.min.js", "/a/b/lib.min.js", True),
+        ("build/", "/x/build/out.o", True),
+        ("/anchored.txt", "/anchored.txt", True),
+        ("/anchored.txt", "/sub/anchored.txt", False),
+    ]
+    for glob, path, want in cases:
+        rx = _re.compile(glob_to_regex(glob))
+        assert bool(rx.search(path.lstrip("/"))) == want or bool(
+            rx.search(path)
+        ) == want, (glob, path)
+    long_url = "/" + "b" * 100000 + ".txt"
+    rx = _re.compile(glob_to_regex(".git/"), _re.IGNORECASE)
+    t0 = _time.perf_counter()
+    rx.search(long_url)
+    assert _time.perf_counter() - t0 < 0.05
