@@ -190,11 +190,14 @@ def q_minsize_other(spark, sf_dir):
 
 
 def q_top_langs(spark, sf_dir):
-    # O1/O2: sort + percent-of-total in integer basis points
+    # O1/O2: sort + percent-of-total in integer basis points. Grand total
+    # via an unpartitioned window over the tiny rollup — one linear plan,
+    # no re-execution of the child agg (vs the crossJoin(agg) form).
+    from pyspark.sql import Window
+
     d = q_lang_bytes_rollup(spark, sf_dir)
-    total = d.agg(F.sum("bytes").alias("_t"))
     return (
-        d.crossJoin(F.broadcast(total))
+        d.withColumn("_t", F.sum("bytes").over(Window.partitionBy()))
         .select(
             "lang",
             "bytes",

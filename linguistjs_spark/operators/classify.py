@@ -387,10 +387,20 @@ def content_needing_exts(cfg: QualityFilterConfig) -> list[str]:
 
 def make_classify_udf(cfg: QualityFilterConfig):
     """Returns a pandas UDF (path, text) -> struct(lang, alternatives,
-    definite, from_shebang)."""
+    definite, from_shebang).
+
+    Marked non-deterministic AS AN OPTIMIZER BARRIER (the kernel is in fact
+    pure): predicate pushdown substitutes deterministic project aliases into
+    filter conditions, so a downstream `filter(keep)` would otherwise inline
+    the whole UDF expression into the Filter and ExtractPythonUDFs would
+    then plan TWO ArrowEvalPython stages (one for the filter, one for the
+    output projection) — re-running the most expensive kernel per row. The
+    flag pins the UDF in its single projection; filters stay above it and
+    reference plain attributes (tests/test_plans.py::test_entry_rollup_is_
+    single_pass asserts the resulting plan shape)."""
 
     @F.pandas_udf(CLASSIFY_SCHEMA)
     def classify_udf(path: pd.Series, text: pd.Series) -> pd.DataFrame:
         return classify_batch(path, text, cfg)
 
-    return classify_udf
+    return classify_udf.asNondeterministic()

@@ -153,10 +153,19 @@ def keep_reason_rollup(labels: DataFrame) -> DataFrame:
 
 def sorted_by_bytes(rollup: DataFrame) -> DataFrame:
     """O1: display ordering (src/cli.ts:105), with percent-of-total (O2) in
-    integer basis points to stay engine-exact."""
-    total = rollup.agg(F.sum("bytes").alias("_t"))
+    integer basis points to stay engine-exact.
+
+    The grand total comes from an unpartitioned window, not a crossJoin
+    against a separate agg of the same child: the crossJoin form planned the
+    rollup twice (ReusedExchange did not fire, VERDICT r01), re-executing
+    the whole upstream pipeline per action. A window keeps one linear plan;
+    the single-partition window is free here because its input is the
+    already-aggregated per-language rollup (hundreds of rows at any scale)."""
+    from pyspark.sql import Window
+
+    total = F.sum("bytes").over(Window.partitionBy())
     return (
-        rollup.crossJoin(F.broadcast(total))
+        rollup.withColumn("_t", total)
         .withColumn("pct_bp", F.expr("10000 * bytes div _t"))
         .drop("_t")
         .orderBy(F.desc("bytes"), F.asc("lang"))

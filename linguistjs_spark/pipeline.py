@@ -6,14 +6,27 @@ everywhere except the single classify pandas-UDF kernel, one shuffle total
 (the optional explicit repartition + the final rollup).
 
 Scale design notes (the judge-graded part):
-  - Path filters are pure JVM rlike flags evaluated BEFORE any content
-    column is touched, so Catalyst prunes `text`/`html` reads for dropped
-    rows' downstream stages, and the dropped branch never enters the Python
-    worker at all (explicit filter split, not a per-row conditional).
-  - The classify UDF receives only (path, text) — Arrow transfers no html
-    bytes; the binary sniff reads only substring(html, 1, 1024).
-  - cfg.repartition_buckets > 0 inserts repartition(xxhash64(url)) before the
-    UDF stage (north-rule requirement: crawl-order skew balancing).
+  - SINGLE-PASS boolean column algebra, no filter+union branching: every
+    drop decision (path regex, unreadable, binary sniff, category, quality,
+    toxicity) is a flag column folded into one CASE `keep_reason`
+    (SURVEY.md §2.6 O3 "prefer the boolean flags (one pass)"). Spark does
+    not common-subexpression-eliminate across union branches, so the
+    previous filter+union formulation executed the classify UDF 3x and the
+    pages scan 4x per action; this plan executes each exactly once
+    (asserted in tests/test_plans.py::test_pipeline_is_single_pass).
+  - Expensive stages are gated per-row with CASE WHEN on the row's
+    liveness flag: codegen evaluates conditional branches lazily, so a
+    path-dropped row pays nothing for quality/langid/scrub, and the
+    classify UDF receives NULL (path, text) for it — an empty Arrow slot,
+    not a kernel invocation.
+  - The binary content sniff reads only substring(html, 1, 1024) and is
+    computed BEFORE the optional repartition, after which `html` is
+    dropped from the frame: the shuffle moves a boolean per row instead of
+    the raw page bytes.
+  - The classify UDF receives only (path, text); the Arrow text gate nulls
+    `text` for every row whose kernel path provably never reads it.
+  - cfg.repartition_buckets > 0 inserts repartition(xxhash64(url)) before
+    the UDF stage (north-rule requirement: crawl-order skew balancing).
   - No collect(), no driver-side loops; the only Python is the classify
     kernel's slow paths on shebang/modeline/heuristic-ext row subsets.
 """
@@ -61,48 +74,53 @@ def run_pipeline(
 
     # the input's prior `lang` hint must not collide with our output label
     if "lang" in pages.columns:
-        pages = pages.withColumnRenamed("lang", "lang_hint")
+        pages = pages.drop("lang")
 
     df = with_filter_flags(pages, md, cfg, overrides, user_ignore_globs)
 
-    # Dropped-by-path branch never touches content columns or Python.
-    dropped = df.filter(F.col("drop_reason_path").isNotNull()).select(
-        "url", "warc_ts", "path",
-        F.lit(False).alias("keep"),
-        F.col("drop_reason_path").alias("keep_reason"),
+    # Row-liveness flags (all native, evaluated once per row):
+    #   _eligible: survives path filters and has readable text
+    #   _is_bin:   NUL byte in the first KiB of html (F3 content sniff input)
+    df = df.withColumn(
+        "_eligible", F.col("drop_reason_path").isNull() & F.col("text").isNotNull()
     )
-
-    kept = df.filter(F.col("drop_reason_path").isNull()).drop("drop_reason_path")
-
-    unreadable = kept.filter(F.col("text").isNull()).select(
-        "url", "warc_ts", "path",
-        F.lit(False).alias("keep"),
-        F.lit("unreadable").alias("keep_reason"),
-    )
-    kept = kept.filter(F.col("text").isNotNull())
+    if not cfg.keep_binary:
+        df = df.withColumn(
+            "_is_bin",
+            F.col("_eligible")
+            & F.col("html").isNotNull()
+            & F.contains(F.substring(F.col("html"), 1, 1024), F.lit(b"\x00")),
+        )
+    else:
+        df = df.withColumn("_is_bin", F.lit(False))
+    # html is fully consumed by the sniff flag; text is only ever read for
+    # eligible rows. Null/drop both now so the optional shuffle below moves
+    # flags, not page blobs, for dropped rows.
+    df = df.withColumn("text", F.when(F.col("_eligible"), F.col("text"))).drop("html")
 
     if cfg.repartition_buckets > 0:
         if cfg.repartition_by_length:
             # range on byte-length first, url hash to spread within a bucket:
             # equal-byte (not equal-row) tasks when doc sizes are skewed
-            kept = kept.repartitionByRange(
+            df = df.repartitionByRange(
                 cfg.repartition_buckets,
                 F.octet_length("text"),
                 F.xxhash64("url"),
             )
         else:
-            kept = kept.repartition(cfg.repartition_buckets, F.xxhash64("url"))
+            df = df.repartition(cfg.repartition_buckets, F.xxhash64("url"))
 
     # C1 forced-language globs, resolved+collapsed at driver time (native)
     p = F.col("path")
     forced = forced_lang_col(p, overrides, lambda l: _collapse(md, cfg, l))
-    kept = kept.withColumn("forced_lang", forced)
+    df = df.withColumn("forced_lang", F.when(F.col("_eligible"), forced))
 
     classify_udf = make_classify_udf(cfg)
     # Arrow-transfer gate: the kernel reads text only for shebang/modeline
     # first lines and for multi-candidate heuristic-ext rows (both decidable
     # natively). Null the column for every other row so the dominant
-    # fast-path rows ship ~nothing to the python worker.
+    # fast-path rows ship ~nothing to the python worker. (text is already
+    # NULL for ineligible rows, so the gate composes with row liveness.)
     first = F.substring_index(F.col("text"), "\n", 1)
     needs_text = F.lit(not cfg.gate_udf_text)
     if not cfg.quick:
@@ -117,37 +135,32 @@ def run_pipeline(
                 F.lower(F.col("path")), r"(?<=[^/])(\.[^./]+)$", 1
             )
             needs_text = needs_text | ext_col.isin(hexts)
-    kept = kept.withColumn(
-        "cls", classify_udf(F.col("path"), F.when(needs_text, F.col("text")))
+    df = df.withColumn(
+        "cls",
+        classify_udf(
+            F.when(F.col("_eligible"), p), F.when(needs_text, F.col("text"))
+        ),
     )
-    kept = kept.select(
-        "*",
-        F.coalesce(F.col("forced_lang"), F.col("cls.lang")).alias("lang"),
-        F.when(F.col("forced_lang").isNotNull(), F.array().cast("array<string>"))
-        .otherwise(F.col("cls.alternatives"))
-        .alias("alternatives"),
-        (F.col("forced_lang").isNotNull() | F.col("cls.definite")).alias("definite"),
-        F.col("cls.from_shebang").alias("from_shebang"),
-    ).drop("cls", "forced_lang")
-
-    # F3 content sniff: NUL byte in the first 1 KiB, non-definite rows only
-    # (mirrors the narrowing-loop placement, src/index.ts:314-317)
-    if not cfg.keep_binary:
-        is_bin = F.col("html").isNotNull() & F.contains(
-            F.substring(F.col("html"), 1, 1024), F.lit(b"\x00")
+    df = (
+        df.withColumn("lang", F.coalesce(F.col("forced_lang"), F.col("cls.lang")))
+        .withColumn(
+            "alternatives",
+            F.when(F.col("forced_lang").isNotNull(), F.array().cast("array<string>"))
+            .otherwise(F.col("cls.alternatives")),
         )
-        sniffed = ~F.col("definite") & is_bin
-        bin_dropped = kept.filter(sniffed).select(
-            "url", "warc_ts", "path",
-            F.lit(False).alias("keep"),
-            F.lit("binary-content").alias("keep_reason"),
+        .withColumn(
+            "definite", F.col("forced_lang").isNotNull() | F.col("cls.definite")
         )
-        kept = kept.filter(~sniffed)
-    else:
-        bin_dropped = None
+        .withColumn("from_shebang", F.col("cls.from_shebang"))
+        .drop("cls", "forced_lang")
+    )
 
-    # F5 category filter (src/index.ts:376-402) — broadcast-free: the ~50-entry
-    # lang->type map folds into a literal CASE map, staying in codegen
+    # F3 content sniff applies to non-definite rows only (mirrors the
+    # narrowing-loop placement, src/index.ts:314-317)
+    df = df.withColumn("_sniffed", F.col("_is_bin") & ~F.col("definite"))
+
+    # F5 category filter (src/index.ts:376-402) — broadcast-free: the lang
+    # -> type map folds into a literal CASE map, staying in codegen
     if len(cfg.categories) < 4:
         type_map = F.create_map(
             *[
@@ -160,36 +173,43 @@ def run_pipeline(
         detectable = override_attr_col(p, overrides, "detectable").eqNullSafe(
             F.lit(True)
         ) if cfg.check_detected else F.lit(False)
-        cat_dropped_mask = (
-            F.col("lang").isNotNull()
+        cat_mask = (
+            F.col("_eligible")
+            & ~F.col("_sniffed")
+            & F.col("lang").isNotNull()
             & ltype.isNotNull()
             & ~ltype.isin(list(cfg.categories))
             & ~detectable
         )
-        cat_dropped = kept.filter(cat_dropped_mask).select(
-            "url", "warc_ts", "path",
-            F.lit(False).alias("keep"),
-            F.lit("category").alias("keep_reason"),
-        )
-        kept = kept.filter(~cat_dropped_mask)
     else:
-        cat_dropped = None
+        cat_mask = F.lit(False)
+    df = df.withColumn("_cat", cat_mask)
 
-    # A2 + graft features, all native
+    # rows that reach the quality/scrub stages
+    df = df.withColumn(
+        "_alive", F.col("_eligible") & ~F.col("_sniffed") & ~F.col("_cat")
+    )
+    alive = F.col("_alive")
     text = F.col("text")
-    kept = kept.withColumn("bytes", F.octet_length(text).cast("long"))
+
+    # A2 + graft features, all native, CASE-gated on liveness so dead rows
+    # evaluate none of them (codegen branches are lazy per row)
+    df = df.withColumn("bytes", F.when(alive, F.octet_length(text).cast("long")))
     if cfg.calculate_lines:
-        kept = kept.withColumn("lines", lines_struct(text))
+        df = df.withColumn("lines", F.when(alive, lines_struct(text)))
     else:
-        kept = kept.withColumn(
+        df = df.withColumn(
             "lines",
-            F.struct(
-                F.lit(0).cast("long").alias("total"),
-                F.lit(0).cast("long").alias("content"),
-                F.lit(0).cast("long").alias("code"),
+            F.when(
+                alive,
+                F.struct(
+                    F.lit(0).cast("long").alias("total"),
+                    F.lit(0).cast("long").alias("content"),
+                    F.lit(0).cast("long").alias("code"),
+                ),
             ),
         )
-    kept = kept.withColumn("quality", quality_struct(text))
+    df = df.withColumn("quality", F.when(alive, quality_struct(text)))
     # shared (?U)\W+ tokenization for langid + toxicity: materialized as a
     # real column so each downstream reference reads it instead of
     # re-splitting (cross-Project column reuse, unlike HOF lambda reuse)
@@ -197,7 +217,7 @@ def run_pipeline(
     if share_toks:
         from .operators.scrub import tokens_col
 
-        kept = kept.withColumn("_toks", tokens_col(text))
+        df = df.withColumn("_toks", F.when(alive, tokens_col(text)))
     toks = F.col("_toks") if share_toks else None
     if cfg.langid_fallback:
         nl = None
@@ -209,9 +229,10 @@ def run_pipeline(
             nl = nl_lang_col(text, toks=toks)
     else:
         nl = F.lit(None).cast("string")
-    kept = kept.withColumn("nl_lang", nl)
+    df = df.withColumn("nl_lang", F.when(alive, nl))
 
-    # optional KenLM-style perplexity stage (the one extra pandas UDF)
+    # optional KenLM-style perplexity stage (the one extra pandas UDF);
+    # dead rows ship a NULL slot (kernel returns 0.0, masked back to NULL)
     if cfg.compute_perplexity:
         from .perplexity import perplexity as _ppl
 
@@ -219,9 +240,9 @@ def run_pipeline(
         def ppl_udf(s: pd.Series) -> pd.Series:
             return s.map(_ppl)
 
-        kept = kept.withColumn("ppl", ppl_udf(text))
+        df = df.withColumn("ppl", F.when(alive, ppl_udf(F.when(alive, text))))
     else:
-        kept = kept.withColumn("ppl", F.lit(None).cast("double"))
+        df = df.withColumn("ppl", F.lit(None).cast("double"))
 
     qreason = quality_drop_reason_col(F.col("quality"), cfg)
     if cfg.compute_perplexity:
@@ -245,18 +266,40 @@ def run_pipeline(
         F.lit("langid-fallback"),
     ).otherwise(F.lit("classified"))
 
-    final_reason = F.coalesce(qreason, tox_reason, kept_reason)
-    kept = kept.withColumn("keep_reason", final_reason)
-    kept = kept.withColumn("keep", F.col("keep_reason").isin("classified", "langid-fallback"))
+    # ONE CASE chain decides every row's fate; branch order mirrors the
+    # reference's filter ordering (path -> read -> binary sniff -> category
+    # -> quality/toxicity). qreason/tox are NULL for dead rows (their inputs
+    # are NULL-gated), so the coalesce never misfires across stages.
+    df = df.withColumn(
+        "keep_reason",
+        F.coalesce(
+            F.col("drop_reason_path"),
+            F.when(~F.col("_eligible"), F.lit("unreadable")),
+            F.when(F.col("_sniffed"), F.lit("binary-content")),
+            F.when(F.col("_cat"), F.lit("category")),
+            qreason,
+            tox_reason,
+            kept_reason,
+        ),
+    )
+    df = df.withColumn(
+        "keep", F.col("keep_reason").isin("classified", "langid-fallback")
+    )
 
     # scrub only survivors; byte-identical contract lives here
     scrubbed = scrubbed_col(text) if cfg.scrub_pii else text
-    kept = kept.withColumn(
+    df = df.withColumn(
         "scrubbed_text", F.when(F.col("keep"), scrubbed).otherwise(F.lit(None))
     )
 
-    labeled = kept.select(*LABEL_COLUMNS)
-    for extra in (dropped, unreadable, bin_dropped, cat_dropped):
-        if extra is not None:
-            labeled = labeled.unionByName(extra, allowMissingColumns=True)
-    return labeled
+    # classification columns are NULL for rows that never reached the
+    # cascade's output (parity with the previous union's missing-column
+    # semantics: dropped rows expose only url/warc_ts/path/keep/keep_reason)
+    return df.select(
+        "url", "warc_ts", "path", "keep", "keep_reason",
+        F.when(alive, F.col("lang")).alias("lang"),
+        F.when(alive, F.col("alternatives")).alias("alternatives"),
+        F.when(alive, F.col("definite")).alias("definite"),
+        F.when(alive, F.col("from_shebang")).alias("from_shebang"),
+        "bytes", "lines", "quality", "ppl", "nl_lang", "scrubbed_text",
+    )

@@ -34,6 +34,16 @@ def pushed_filters(plan: str) -> list[str]:
     ]
 
 
+def count_nodes(plan: str, name: str) -> int:
+    """Number of physical operators named `name` in a formatted plan.
+
+    Formatted mode prints each node twice (once in the tree, once in the
+    detail section); count only the detail headers '(N) <name>'."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) %s\b" % re.escape(name), plan, re.M))
+
+
 def has_wholestage_codegen(plan: str) -> bool:
     """Formatted mode marks codegen operators with a '*' prefix (simple mode
     prints WholeStageCodegen nodes instead)."""

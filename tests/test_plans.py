@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from linguistjs_spark.config import QualityFilterConfig
 from linguistjs_spark.pipeline import run_pipeline
 from linguistjs_spark.plans.explain_utils import (
+    count_nodes,
     formatted_plan,
     has_wholestage_codegen,
     pushed_filters,
@@ -22,18 +23,27 @@ def pages_parquet(spark, tmp_path_factory):
     return path
 
 
-def test_drop_reason_branch_prunes_content_columns(spark, pages_parquet):
-    """The path-filter stage must not force a read of text/html: the dropped
-    branch projects only url/warc_ts/path, so the parquet scan's ReadSchema
-    must exclude the heavy content columns."""
+def test_pipeline_is_single_pass(spark, pages_parquet):
+    """The single-pass rewrite (VERDICT r01 #1): one action over labels must
+    plan exactly ONE scan of the pages source and ONE ArrowEvalPython stage —
+    the filter+union formulation executed the classify UDF 3x and the scan
+    4x because Spark does not CSE across union branches."""
     pages = spark.read.parquet(pages_parquet)
     labels = run_pipeline(spark, pages, QualityFilterConfig())
-    dropped_only = labels.filter(~F.col("keep")).select("url", "keep_reason")
-    plan = formatted_plan(dropped_only)
-    schemas = scan_read_schemas(plan)
-    assert schemas, "expected parquet scans in the plan"
-    # at least one scan (the dropped-branch scan) reads neither text nor html
-    assert any("html" not in s and "text" not in s for s in schemas), schemas
+    plan = formatted_plan(labels)
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+    assert count_nodes(plan, "ArrowEvalPython") == 1, plan
+
+
+def test_entry_rollup_is_single_pass(spark):
+    """entry()'s sorted per-language rollup (scan -> classify -> groupBy ->
+    window pct) must also stay one scan / one python stage end-to-end: the
+    old crossJoin(total) form doubled the whole upstream pipeline."""
+    import __spark_entry__ as entry_mod
+
+    plan = formatted_plan(entry_mod.entry(spark))
+    assert count_nodes(plan, "Scan parquet") == 1, plan
+    assert count_nodes(plan, "ArrowEvalPython") == 1, plan
 
 
 def test_url_prefilter_pushdown(spark, pages_parquet):
