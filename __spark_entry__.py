@@ -151,6 +151,95 @@ def q_cascade_extmap(spark, sf_dir):
     )
 
 
+# cascade_wide fixture: 128 extensions spanning the widened metadata
+# snapshot (VERDICT r01 #2), each a single-candidate ext whose classification
+# is text-independent (not shebang/modeline/heuristic-gated), pinned to its
+# expected language. The DuckDB oracle restates this list literally, so a
+# snapshot regression (ext dropped/remapped) breaks the hash match.
+_WIDE_EXT_LANGS = [
+    (".go", "Go"), (".swift", "Swift"), (".kt", "Kotlin"), (".kts", "Kotlin"),
+    (".dart", "Dart"), (".rb", "Ruby"), (".java", "Java"), (".scala", "Scala"),
+    (".clj", "Clojure"), (".hs", "Haskell"), (".erl", "Erlang"),
+    (".ex", "Elixir"), (".exs", "Elixir"), (".elm", "Elm"), (".zig", "Zig"),
+    (".nim", "Nim"), (".jl", "Julia"), (".lua", "Lua"), (".toml", "TOML"),
+    (".yml", "YAML"), (".yaml", "YAML"), (".json", "JSON"), (".xml", "XML"),
+    (".css", "CSS"), (".scss", "SCSS"), (".less", "Less"), (".sass", "Sass"),
+    (".vue", "Vue"), (".svelte", "Svelte"), (".sol", "Solidity"),
+    (".proto", "Protocol Buffer"), (".graphql", "GraphQL"), (".ini", "INI"),
+    (".csv", "CSV"), (".tsv", "TSV"), (".sh", "Shell"), (".bash", "Shell"),
+    (".ps1", "PowerShell"), (".bat", "Batchfile"), (".pas", "Pascal"),
+    (".vhd", "VHDL"), (".tcl", "Tcl"), (".rkt", "Racket"),
+    (".el", "Emacs Lisp"), (".ml", "OCaml"), (".fs", "F#"), (".sql", "SQL"),
+    (".r", "R"), (".tex", "TeX"), (".rst", "reStructuredText"),
+    (".org", "Org"), (".adoc", "AsciiDoc"), (".diff", "Diff"),
+    (".dockerfile", "Dockerfile"), (".cmake", "CMake"), (".groovy", "Groovy"),
+    (".gradle", "Gradle"), (".hcl", "HCL"), (".tf", "HCL"), (".nix", "Nix"),
+    (".vim", "Vim Script"), (".awk", "Awk"), (".cob", "COBOL"),
+    (".cr", "Crystal"), (".pyx", "Cython"), (".d", "D"),
+    (".ahk", "AutoHotkey"), (".as", "ActionScript"), (".bal", "Ballerina"),
+    (".bicep", "Bicep"), (".cfm", "ColdFusion"), (".cson", "CSON"),
+    (".cue", "CUE"), (".dfy", "Dafny"), (".dwl", "DataWeave"),
+    (".ftlh", "FreeMarker"), (".feature", "Gherkin"), (".gd", "GDScript"),
+    (".gleam", "Gleam"), (".hx", "Haxe"), (".ipynb", "Jupyter Notebook"),
+    (".jq", "JQ"), (".json5", "JSON5"), (".jsonnet", "Jsonnet"),
+    (".kv", "kvlang"), (".lfe", "LFE"), (".lisp", "Common Lisp"),
+    (".ly", "LilyPond"), (".m2", "Macaulay2"), (".marko", "Marko"),
+    (".metal", "Metal"), (".mq4", "MQL4"), (".nf", "Nextflow"),
+    (".nss", "NWScript"), (".nut", "Squirrel"), (".odin", "Odin"),
+    (".p4", "P4"), (".pde", "Processing"), (".pegjs", "PEG.js"),
+    (".pig", "PigLatin"), (".pike", "Pike"), (".pkl", "Pkl"),
+    (".pony", "Pony"), (".pov", "POV-Ray SDL"), (".prisma", "Prisma"),
+    (".ps", "PostScript"), (".pug", "Pug"), (".purs", "PureScript"),
+    (".pwn", "Pawn"), (".qasm", "OpenQASM"), (".re", "Reason"),
+    (".robot", "RobotFramework"), (".sas", "SAS"), (".sed", "sed"),
+    (".slim", "Slim"), (".smithy", "Smithy"), (".sml", "Standard ML"),
+    (".sp", "SourcePawn"), (".sparql", "SPARQL"), (".stan", "Stan"),
+    (".styl", "Stylus"), (".thrift", "Thrift"), (".tla", "TLA"),
+    (".ttl", "Turtle"), (".twig", "Twig"), (".uc", "UnrealScript"),
+    (".ur", "UrWeb"), (".vb", "Visual Basic .NET"), (".vbs", "VBScript"),
+    (".vtl", "Velocity Template Language"), (".vtt", "WebVTT"),
+]
+
+
+def q_cascade_wide(spark, sf_dir):
+    # Widened-snapshot cascade check: pages synthesized from documents with a
+    # deterministic 128-extension cycle; a constant first line is prepended
+    # so no row takes the shebang/modeline slow path (classification is then
+    # a pure function of the extension, which the literal SQL CASE restates).
+    n = len(_WIDE_EXT_LANGS)
+    exts = F.array(*[F.lit(e) for e, _ in _WIDE_EXT_LANGS])
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://wide.example/src/sample"),
+            F.col("doc_id").cast("string"),
+            F.element_at(exts, (F.col("doc_id") % n + 1).cast("int")),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(F.lit("wide sample\n"), F.col("text")).alias("text"),
+    )
+    labels = run_pipeline(spark, pages, _CASCADE_CFG)
+    return (
+        labels.filter(F.col("keep"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("bytes").cast("long").alias("bytes"))
+    )
+
+
+def _cascade_wide_oracle_sql() -> str:
+    n = len(_WIDE_EXT_LANGS)
+    whens = " ".join(
+        f"WHEN {i} THEN '{lang.replace(chr(39), chr(39) * 2)}'"
+        for i, (_, lang) in enumerate(_WIDE_EXT_LANGS)
+    )
+    return (
+        f"SELECT lang, COUNT(*) AS n_docs, "
+        f"CAST(SUM(strlen(text) + 12) AS BIGINT) AS bytes "
+        f"FROM (SELECT CASE doc_id % {n} {whens} END AS lang, text "
+        f"FROM documents) GROUP BY lang"
+    )
+
+
 def q_keep_reason_rollup(spark, sf_dir):
     # north-star metrics rollup: grouping sets over (lang, keep_reason) in
     # one pass, over the full pipeline (quality rules ON so reasons vary)
@@ -504,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": q_token_count_by_source,
         "exact_dedup": q_exact_dedup,
         "cascade_extmap": q_cascade_extmap,
+        "cascade_wide": q_cascade_wide,
         "keep_reason_rollup": q_keep_reason_rollup,
         "unknown_rollup": q_unknown_rollup,
         "minsize_other": q_minsize_other,
@@ -782,6 +872,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "langid_dist": _langid_oracle_sql(),
+        "cascade_wide": _cascade_wide_oracle_sql(),
         "shipped_revenue_window": (
             "SELECT l_returnflag, COUNT(*) AS n_items, "
             "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
