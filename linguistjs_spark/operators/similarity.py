@@ -134,16 +134,56 @@ def lsh_topk(
 
 
 def ivf_centroids(
-    embeddings: DataFrame, n_centroids: int = 16,
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic coarse quantizer: the n_centroids lowest-id vectors.
+    """Coarse quantizer trained with Lloyd iterations in DataFrame algebra.
 
-    A production deployment trains k-means centroids offline; the
-    assignment/probe plumbing below is identical either way, which is the
-    part that matters for the Spark engine."""
+    Init is deterministic (the n_centroids lowest-id vectors); each
+    iteration assigns every vector to its nearest centroid with the same
+    native greatest(struct(cos, cid)) projection the index build uses, then
+    recomputes per-centroid means distributively (posexplode -> groupBy
+    (centroid, dim) -> sum). The per-dimension sum is taken over
+    fixed-point-quantized values (round(x * 2^24) as long) so the reduction
+    is ORDER-INDEPENDENT: float summation order varies with partitioning,
+    and a centroid that jitters between runs would flip boundary vectors
+    between buckets, making ivf_topk non-deterministic. 2^24 quantization
+    of unit-scale embeddings keeps ~7 significant digits, far below
+    assignment noise. Empty clusters keep their previous centroid.
+
+    At 100 TB you train on a sample/subset with the same plan shape (two
+    narrow shuffles per iteration, both on tiny (centroid, dim) keys)."""
     rows = embeddings.orderBy(id_col).limit(n_centroids).collect()
-    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+    cents = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+    scale = float(1 << 24)
+    for _ in range(iters):
+        assigned = with_ivf_buckets(embeddings, cents, id_col, vec_col)
+        ex = assigned.select(
+            "centroid", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        sums = (
+            ex.groupBy("centroid", "dim")
+            .agg(
+                F.sum(F.round(F.col("val").cast("double") * scale).cast("long"))
+                .alias("qsum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        acc: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault(r["centroid"], {})[r["dim"]] = (r["qsum"], r["n"])
+        new_cents = []
+        for cid, vec in cents:
+            dims = acc.get(cid)
+            if not dims:
+                new_cents.append((cid, vec))  # empty cluster: keep centroid
+                continue
+            new_cents.append(
+                (cid, [dims[d][0] / scale / dims[d][1] for d in range(len(vec))])
+            )
+        cents = new_cents
+    return cents
 
 
 def with_ivf_buckets(
@@ -195,20 +235,44 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     bits: int = 12,
+    probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: bucket self-join + exact cosine
-    verify — the embedding analog of MinHash LSH dedup."""
+    verify — the embedding analog of MinHash LSH dedup.
+
+    Multi-probe: a true near-dup whose projection on one hyperplane sits
+    near zero can land one bit away from its twin, so a single-bucket join
+    misses it (VERDICT r01). The LEFT side explodes to its bucket plus all
+    hamming<=probe_hamming neighbours (bits+1 keys at hamming 1) and joins
+    r.bucket equi — the probe fan-out stays an equi-join the planner can
+    shuffle/broadcast, never an OR/nested-loop condition. distinct() dedups
+    pairs reachable through multiple probe keys."""
     idx = with_lsh_buckets(embeddings, bits, id_col, vec_col)
-    l, r = idx.alias("l"), idx.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).select(
-        F.col(f"l.{id_col}").alias("a"),
-        F.col(f"r.{id_col}").alias("b"),
-        cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("score"),
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+            for j in range(bits)
+        ]
+    l = idx.select(
+        F.col(id_col), F.col(vec_col), F.col("bucket"),
+        F.explode(F.array(*probes)).alias("probe_bucket"),
+    ).alias("l")
+    r = idx.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.probe_bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
     )
-    return pairs.filter(F.col("score") >= threshold)
+    la = idx.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    rb = idx.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    scored = pairs.join(la, "a").join(rb, "b").select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
+    )
+    return scored.filter(F.col("score") >= threshold)
