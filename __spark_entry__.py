@@ -529,7 +529,11 @@ def q_minhash_pairs(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sims = DD.with_simhash(docs)
-    return DD.simhash_near_pairs(sims, max_hamming=3).orderBy("a", "b")
+    return (
+        DD.simhash_near_pairs(sims, max_hamming=3)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a", "b")
+    )
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -573,9 +577,13 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_dedup_cardinality(spark, sf_dir):
-    # HLL++ scale path for dedup stats (rows-only: sketch values are
-    # engine-specific; the exact/approx tolerance is pytest-asserted)
-    return DD.dedup_cardinality(_docs(spark, sf_dir), rsd=0.02)
+    # HLL++ scale path for dedup stats. The raw sketch value is engine-
+    # specific, so the oracle-compared surface is (n_docs, exact distinct,
+    # approx-within-3*rsd boolean) — the accuracy CONTRACT is checked, the
+    # sketch internals are not.
+    return DD.dedup_cardinality(_docs(spark, sf_dir), rsd=0.02).select(
+        "n_docs", "n_unique_exact", "approx_ok"
+    )
 
 
 def q_media_features(spark, sf_dir):
@@ -679,6 +687,229 @@ CASE doc_id % 10
   WHEN 8 THEN 'ECL'
   ELSE 'AGS Script'
 END
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Twin-backed oracles for hash-domain queries (VERDICT r01 #3)
+#
+# simhash / LSH-ANN / IVF-ANN state lives in the xxhash64 domain, which
+# DuckDB cannot reproduce; their expected outputs are recomputed by the
+# pure-python twins (linguistjs_spark.hash_twin / ann_twin — bit-for-bit
+# pinned against Spark in pytest) and emitted as literal VALUES. The driver
+# compares at sf0.01, so the twins read that directory (overridable).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _values_sql(rows, header_sql: str, empty_sql: str) -> str:
+    if not rows:
+        return empty_sql
+    vals = ", ".join("(" + ", ".join(repr(x) for x in r) + ")" for r in rows)
+    return header_sql.format(values=vals)
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    from linguistjs_spark.ann_twin import simhash_pairs_expected
+
+    rows = simhash_pairs_expected(_ORACLE_SF_DIR, max_hamming=3)
+    return _values_sql(
+        rows,
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        "CAST(h AS BIGINT) AS hamming FROM (VALUES {values}) t(a, b, h)",
+        "SELECT CAST(NULL AS BIGINT) a, CAST(NULL AS BIGINT) b, "
+        "CAST(NULL AS BIGINT) hamming WHERE FALSE",
+    )
+
+
+def _lsh_ann_oracle_sql() -> str:
+    from linguistjs_spark.ann_twin import lsh_topk_expected
+
+    rows = lsh_topk_expected(_ORACLE_SF_DIR, query_id=1, k=10, bits=8,
+                             probe_hamming=2)
+    return _values_sql(
+        rows,
+        "SELECT CAST(v AS BIGINT) AS vec_id, CAST(s AS DOUBLE) AS score_r "
+        "FROM (VALUES {values}) t(v, s)",
+        "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
+        "WHERE FALSE",
+    )
+
+
+def _ivf_ann_oracle_sql() -> str:
+    from linguistjs_spark.ann_twin import ivf_topk_expected
+
+    rows = ivf_topk_expected(_ORACLE_SF_DIR, query_id=2, k=10, n_centroids=16,
+                             n_probe=4, iters=5)
+    return _values_sql(
+        rows,
+        "SELECT CAST(v AS BIGINT) AS vec_id, CAST(s AS DOUBLE) AS score_r "
+        "FROM (VALUES {values}) t(v, s)",
+        "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
+        "WHERE FALSE",
+    )
+
+
+# minhash_pairs: the LSH banding is only candidate PRUNING — the verified
+# output contract is "every pair with exact shingle-Jaccard >= threshold".
+# The oracle restates that contract EXHAUSTIVELY in the string domain
+# (hash-domain set sizes == string-domain set sizes absent 64-bit
+# collisions), so it doubles as a 100%-recall check on the banding.
+_MINHASH_PAIRS_SQL = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(lower(regexp_replace(
+                 text, '[ \t\r\n\f\x0B]+', ' ', 'g'))), ' '),
+                 x -> x <> '') AS words
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3
+                  THEN list_distinct(list_transform(
+                       range(1, len(words) - 1),
+                       i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                  ELSE [array_to_string(words, ' ')] END AS sh
+      FROM w
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+"""
+
+# embedding_near_dup: exhaustive all-pairs cosine over base + planted
+# vectors — the LSH bucket join with multi-probe must recover exactly the
+# >= threshold set, so this oracle is also a recall check.
+_EMB_NEAR_DUP_SQL = """
+    WITH all_v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x * 1.25)
+      FROM embeddings WHERE vec_id < 8
+    ), pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_inner_product(a.v, b.v)
+               / SQRT(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v))
+               AS score
+      FROM all_v a, all_v b WHERE a.vec_id < b.vec_id
+    )
+    SELECT a, b, ROUND(score, 4) AS score_r FROM pairs WHERE score >= 0.9
+    ORDER BY a, b
+"""
+
+# media_features: the deterministic fake-decode contract of
+# multimodal._decode_one over multimodal.synthetic_media_df(64), restated as
+# arithmetic over range(64) — payload length is 32 + i % 100.
+_MEDIA_FEATURES_SQL = """
+    SELECT i AS doc_id,
+           CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(32 + i % 100 AS BIGINT) AS n_bytes,
+           CAST((32 + i % 100) % 64 + 1 AS INT) AS feat_width,
+           CAST(((32 + i % 100) // 64) % 64 + 1 AS INT) AS feat_height,
+           CAST(CASE WHEN i % 3 = 0 THEN 1
+                     ELSE (32 + i % 100) % 30 + 1 END AS INT) AS frame_count
+    FROM range(64) t(i)
+"""
+
+_DEDUP_CARDINALITY_SQL = r"""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT trim(lower(regexp_replace(
+               text, '[ \t\r\n\f\x0B]+', ' ', 'g')))) AS n_unique_exact,
+           TRUE AS approx_ok
+    FROM documents
+"""
+
+
+def _pipeline_labels_oracle_sql() -> str:
+    r"""Full-label restatement of run_pipeline over pages_from_documents with
+    the default config: url synthesis, cascade CASE, Gopher/C4 quality
+    chain, toxicity ratio, and the langid argmax with BOTH script and
+    stopword scores (script classes converted to RE2 \x{...} ranges).
+    Verified to match all 500 sf0.01 rows including non-ASCII documents."""
+    import re as _re
+
+    from linguistjs_spark.metadata import load_langid_config, load_scrub_config
+
+    conf = load_langid_config()
+    langs = sorted(set(conf["stopword_langs"]) | set(conf["script_langs"]))
+    terms = []
+    for rank, lang in enumerate(langs):
+        parts = []
+        if lang in conf["script_langs"]:
+            pat = _re.sub("\\\\u([0-9a-fA-F]{4})", "\\\\x{\\1}",
+                          conf["script_langs"][lang])
+            parts.append(
+                f"CASE WHEN has_na THEN 3 * len(regexp_extract_all(text, "
+                f"'{pat}')) ELSE 0 END"
+            )
+        if lang in conf["stopword_langs"]:
+            words = ", ".join(
+                f"'{w}'" for w in sorted(set(conf["stopword_langs"][lang]))
+            )
+            parts.append(
+                f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+            )
+        terms.append("(" + " + ".join(parts) + f") * 100000 + {rank}")
+    decode = " ".join(f"WHEN {rank} THEN '{lang}'" for rank, lang in enumerate(langs))
+    min_hits = conf["min_confidence_hits"]
+    best = f"GREATEST({', '.join(terms)})"
+    tox = ", ".join(f"'{w}'" for w in sorted(set(load_scrub_config()["toxicity_words"])))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         'https://' || source || '.example/p/' || CAST(doc_id % 97 AS VARCHAR)
+           || '/doc' || CAST(doc_id AS VARCHAR) || '.' ||
+           (CASE doc_id % 10 WHEN 0 THEN 'txt' WHEN 1 THEN 'html.txt'
+             WHEN 2 THEN 'md' WHEN 3 THEN 'js' WHEN 4 THEN 'py' WHEN 5 THEN 'cs'
+             WHEN 6 THEN 'fr' WHEN 7 THEN 'php' WHEN 8 THEN 'ecl'
+             ELSE 'asc' END) AS url,
+         {_CASCADE_CASE} AS lang,
+         string_split_regex(lower(text), '\W+') AS toks,
+         regexp_matches(text, '[^\\x00-\\x7F]') AS has_na,
+         len({_WORDS}) AS n_words,
+         CASE WHEN len({_WORDS}) > 0
+              THEN CAST(list_sum(list_transform({_WORDS}, x -> length(x))) AS DOUBLE)
+                   / len({_WORDS})
+              ELSE 0.0 END AS mean_wl,
+         CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[#<>{{}}\[\]\\^~|]')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS sym_ratio,
+         CASE WHEN len({_NONBLANK}) > 0
+              THEN 1.0 - CAST(len(list_distinct({_NONBLANK})) AS DOUBLE)
+                   / len({_NONBLANK})
+              ELSE 0.0 END AS dup_ratio
+  FROM documents
+), scored AS (
+  SELECT *,
+         len(list_filter(toks, x -> list_contains([{tox}], x))) AS tox_hits,
+         {best} AS best
+  FROM base
+), lab AS (
+  SELECT url, lang,
+         CASE WHEN n_words < 5 OR n_words > 1000000 THEN 'quality-words'
+              WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'quality-word-length'
+              WHEN sym_ratio > 0.25 THEN 'quality-symbols'
+              WHEN dup_ratio > 0.6 THEN 'quality-dup-lines'
+              WHEN n_words > 0 AND CAST(tox_hits AS DOUBLE) / n_words > 0.1
+                   THEN 'toxicity'
+              ELSE 'classified' END AS keep_reason,
+         CASE WHEN best // 100000 >= {min_hits}
+              THEN CASE best % 100000 {decode} END END AS nl_lang
+  FROM scored
+)
+SELECT url, keep_reason = 'classified' AS keep, keep_reason, lang, nl_lang
+FROM lab
 """
 
 
@@ -873,6 +1104,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid_dist": _langid_oracle_sql(),
         "cascade_wide": _cascade_wide_oracle_sql(),
+        "pipeline_labels": _pipeline_labels_oracle_sql(),
+        "minhash_pairs": _MINHASH_PAIRS_SQL,
+        "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "ivf_ann_topk": _ivf_ann_oracle_sql(),
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "dedup_cardinality": _DEDUP_CARDINALITY_SQL,
+        "media_features": _MEDIA_FEATURES_SQL,
         "shipped_revenue_window": (
             "SELECT l_returnflag, COUNT(*) AS n_items, "
             "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "

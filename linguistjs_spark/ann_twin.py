@@ -1,0 +1,158 @@
+"""Pure-Python twins of the ANN / SimHash query results, for the DuckDB
+correctness oracles of queries whose hash-domain state (xxhash64 sketches,
+LSH planes, quantized k-means) cannot be restated in SQL.
+
+Everything here recomputes the EXPECTED query output independently of Spark
+(pyarrow + the hash twins), replicating the Column-expression arithmetic
+bit-for-bit:
+
+  - dot products fold LEFT-TO-RIGHT like F.aggregate (NumPy's pairwise
+    summation would differ in final ulps and flip near-ties);
+  - cosine uses the shared dot/sqrt(dot*dot) formulation;
+  - F.round is HALF_UP (away from zero), not banker's rounding;
+  - greatest(struct(score, cid)) tie-breaks to the HIGHER cid;
+  - the k-means per-dimension mean uses the same fixed-point quantization
+    as similarity.ivf_centroids.
+
+__spark_entry__.oracle_sql() formats these expected rows into literal
+VALUES SQL; tests/test_ann_twin.py pins each twin against the live Spark
+query at sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+
+from .hash_twin import oracle_hyperplane_bucket, oracle_shingles, oracle_simhash
+
+
+def _read_parquet_rows(path: str, columns: list[str]) -> list[tuple]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=columns)
+    cols = [t.column(c).to_pylist() for c in columns]
+    return list(zip(*cols))
+
+
+def load_embeddings(sf_dir: str) -> list[tuple[int, list[float]]]:
+    rows = _read_parquet_rows(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"])
+    out = sorted((int(i), [float(x) for x in v]) for i, v in rows)
+    return out
+
+
+def _dot(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cosine(a: list[float], b: list[float]) -> float:
+    sq = _dot(a, a) * _dot(b, b)
+    return _dot(a, b) / math.sqrt(sq) if sq > 0 else 0.0
+
+
+def round_half_up(x: float, digits: int = 4) -> float:
+    scale = 10.0 ** digits
+    if x >= 0:
+        return math.floor(x * scale + 0.5) / scale
+    return math.ceil(x * scale - 0.5) / scale
+
+
+def lsh_topk_expected(
+    sf_dir: str, query_id: int, k: int = 10, bits: int = 8, probe_hamming: int = 2
+) -> list[tuple[int, float]]:
+    """similarity.lsh_topk twin: (vec_id, round(score, 4)) rows."""
+    emb = load_embeddings(sf_dir)
+    qvec = dict(emb)[query_id]
+    qbucket = oracle_hyperplane_bucket(qvec, bits)
+    scored = []
+    for vid, vec in emb:
+        b = oracle_hyperplane_bucket(vec, bits)
+        if bin(b ^ qbucket).count("1") <= probe_hamming:
+            scored.append((vid, _cosine(vec, qvec)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [(vid, round_half_up(s)) for vid, s in scored[:k]]
+
+
+def _ivf_centroids_twin(
+    emb: list[tuple[int, list[float]]], n_centroids: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """similarity.ivf_centroids twin (quantized-sum Lloyd iterations)."""
+    cents = [(i, list(vec)) for i, (_, vec) in enumerate(emb[:n_centroids])]
+    scale = float(1 << 24)
+
+    def q(x: float) -> int:
+        return int(math.floor(x * scale + 0.5)) if x >= 0 else int(
+            math.ceil(x * scale - 0.5)
+        )
+
+    for _ in range(iters):
+        acc: dict[int, tuple[list[int], int]] = {}
+        for _, vec in emb:
+            best = max(
+                (( _cosine(vec, cvec), cid) for cid, cvec in cents)
+            )
+            cid = best[1]
+            if cid not in acc:
+                acc[cid] = ([0] * len(vec), 0)
+            sums, n = acc[cid]
+            for d, x in enumerate(vec):
+                sums[d] += q(x)
+            acc[cid] = (sums, n + 1)
+        new = []
+        for cid, vec in cents:
+            if cid not in acc:
+                new.append((cid, vec))
+                continue
+            sums, n = acc[cid]
+            new.append((cid, [sums[d] / scale / n for d in range(len(vec))]))
+        cents = new
+    return cents
+
+
+def ivf_topk_expected(
+    sf_dir: str, query_id: int, k: int = 10, n_centroids: int = 16,
+    n_probe: int = 4, iters: int = 5,
+) -> list[tuple[int, float]]:
+    """similarity.ivf_centroids + with_ivf_buckets + ivf_topk twin."""
+    emb = load_embeddings(sf_dir)
+    qvec = dict(emb)[query_id]
+    cents = _ivf_centroids_twin(emb, n_centroids, iters)
+
+    # ivf_topk's probe selection (driver-side python cos, same fold)
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        return d / na if na else 0.0
+
+    probe = sorted(cents, key=lambda c: -cos(qvec, c[1]))[:n_probe]
+    probe_ids = {cid for cid, _ in probe}
+
+    scored = []
+    for vid, vec in emb:
+        assigned = max(((_cosine(vec, cvec), cid) for cid, cvec in cents))[1]
+        if assigned in probe_ids:
+            scored.append((vid, _cosine(vec, qvec)))
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return [(vid, round_half_up(s)) for vid, s in scored[:k]]
+
+
+def simhash_pairs_expected(
+    sf_dir: str, max_hamming: int = 3
+) -> list[tuple[int, int, int]]:
+    """dedup.with_simhash + simhash_near_pairs twin: EXHAUSTIVE hamming<=k
+    pairs — also proves the 16-bit-slice pigeonhole join loses nothing."""
+    rows = _read_parquet_rows(f"{sf_dir}/documents.parquet", ["doc_id", "text"])
+    sims = sorted(
+        (int(i), oracle_simhash(oracle_shingles(t or "", 3))) for i, t in rows
+    )
+    out = []
+    for i in range(len(sims)):
+        for j in range(i + 1, len(sims)):
+            a, ha = sims[i]
+            b, hb = sims[j]
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return sorted(out)

@@ -62,18 +62,35 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def dedup_cardinality(
-    docs: DataFrame, text_col: str = "text", rsd: float = 0.02
+    docs: DataFrame, text_col: str = "text", rsd: float = 0.02,
+    exact: bool = True,
 ) -> DataFrame:
-    """Corpus dedup stats in one pass: exact distinct count plus the
-    HyperLogLog++ approximation that is the 100 TB scale path (no
-    count-distinct shuffle of the fingerprints — each partition contributes
-    a fixed-size sketch, merged at the driver)."""
+    """Corpus dedup stats via the HyperLogLog++ sketch — the 100 TB scale
+    path (no count-distinct shuffle of the fingerprints: each partition
+    contributes a fixed-size sketch, merged at the driver).
+
+    With ``exact=True`` (default, for small-scale cross-checks) the exact
+    distinct count is computed alongside — that DOES pay the exact
+    distinct-aggregation cost, so the scale path passes ``exact=False`` and
+    gets sketch-only stats. ``approx_ok`` pins the sketch's accuracy
+    contract (within 3*rsd of exact) as an oracle-checkable boolean."""
     fp = F.xxhash64(normalized_text(F.col(text_col)))
-    return docs.agg(
+    aggs = [
         F.count("*").alias("n_docs"),
-        F.count_distinct(fp).alias("n_unique_exact"),
         F.approx_count_distinct(fp, rsd).alias("n_unique_approx"),
-    )
+    ]
+    if exact:
+        aggs.insert(1, F.count_distinct(fp).alias("n_unique_exact"))
+    out = docs.agg(*aggs)
+    if exact:
+        out = out.withColumn(
+            "approx_ok",
+            (
+                F.abs(F.col("n_unique_approx") - F.col("n_unique_exact"))
+                <= 3 * rsd * F.col("n_unique_exact")
+            ),
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
