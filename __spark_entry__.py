@@ -663,8 +663,10 @@ WITH q AS (
 
 _SCRUB_SQL_CHAIN = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace("
     "text,"
     " '[A-Za-z0-9][A-Za-z0-9._%+-]{0,63}@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '[A-Za-z0-9._%+-]{1,256}<EMAIL>', '<EMAIL>', 'g'),"
     " '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b', '<IP>', 'g'),"
     " '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),"
     " '\\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\\b', '<CC>', 'g'),"

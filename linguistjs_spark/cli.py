@@ -102,42 +102,34 @@ def main(argv: list[str] | None = None) -> int:
                 write_labels(labels, f"{args.output}/labels")
                 write_rollups(labels, f"{args.output}/rollups")
 
-        results = results_dict(labels, calculate_lines=cfg.calculate_lines)
-
-        if args.tree is not None:
-            print(json.dumps(tree_lookup(results, args.tree), indent=2, default=str))
-        elif args.json:
-            print(json.dumps(results, indent=2, default=str))
+        if args.tree is not None or args.json:
+            # the nested Results shape is the only consumer of the per-url
+            # maps; table mode below never materialises them (VERDICT r01 #4)
+            results = results_dict(labels, calculate_lines=cfg.calculate_lines)
+            if args.tree is not None:
+                print(json.dumps(tree_lookup(results, args.tree), indent=2,
+                                 default=str))
+            else:
+                print(json.dumps(results, indent=2, default=str))
         else:
-            langs = results["languages"]["results"]
-            total = results["languages"]["bytes"] or 1
+            # default table mode: ONE tiny rollup collect, no per-row data
+            # reaches the driver; min-size Other-merge runs in the DataFrame
+            # (rollup.min_size_other handles b/kb/mb/%/loc uniformly)
+            from .operators.rollup import language_rollup, min_size_other
+
+            roll = language_rollup(labels)
             if args.min_size:
                 unit, thr = parse_min_size(args.min_size)
-                merged: dict = {}
-                other = {"bytes": 0, "count": 0}
-                for lang, d in langs.items():
-                    size = d["bytes"]
-                    if unit == "%":
-                        small = 100.0 * size / total < thr
-                    elif unit == "loc":
-                        small = d["lines"]["code"] < thr
-                    else:
-                        small = size < thr
-                    if small:
-                        other["bytes"] += size
-                        other["count"] += 1
-                    else:
-                        merged[lang] = d
-                if other["count"]:
-                    merged["Other"] = {"type": None, "bytes": other["bytes"],
-                                       "lines": {"total": 0, "content": 0, "code": 0},
-                                       "color": None}
-                langs = merged
-            width = max((len(l) for l in langs), default=4)
-            for lang, d in sorted(langs.items(), key=lambda kv: -kv[1]["bytes"]):
-                pct = 100.0 * d["bytes"] / total
-                print(f"{lang:<{width}}  {d['bytes']:>12} B  {pct:6.2f}%  "
-                      f"{d.get('type') or '-'}")
+                if unit in ("kb", "mb"):  # already converted to bytes
+                    unit = "b"
+                roll = min_size_other(roll, thr, unit=unit)
+            rows = roll.collect()
+            total = sum(r["bytes"] for r in rows) or 1
+            width = max((len(r["lang"]) for r in rows), default=4)
+            for r in sorted(rows, key=lambda r: (-r["bytes"], r["lang"])):
+                pct = 100.0 * r["bytes"] / total
+                print(f"{r['lang']:<{width}}  {r['bytes']:>12} B  {pct:6.2f}%  "
+                      f"{r['type'] or '-'}")
         return 0
     finally:
         if owns_session:

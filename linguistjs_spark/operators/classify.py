@@ -197,7 +197,7 @@ def classify_batch(
         first_line.str.match(r"#!", na=False) if cfg.check_shebang else pd.Series(False, index=path.index)
     )
     has_modeline = (
-        first_line.str.contains(r"-\*-|(?:syntax|filetype|ft)\s*=", regex=True, na=False)
+        first_line.str.contains(oracle.MODELINE_GATE_PAT, regex=True, na=False)
         if cfg.check_modeline
         else pd.Series(False, index=path.index)
     )

@@ -114,20 +114,36 @@ def totals(labels: DataFrame) -> DataFrame:
     )
 
 
-def min_size_other(rollup: DataFrame, min_bytes: int) -> DataFrame:
-    """F6/A6: languages below the byte threshold merge into an 'Other' row
-    (src/cli.ts:72-103). Re-key + second groupBy — two cheap shuffles on an
-    already-tiny aggregate."""
+def min_size_other(rollup: DataFrame, min_bytes: float, unit: str = "b") -> DataFrame:
+    """F6/A6: languages below the threshold merge into an 'Other' row
+    (src/cli.ts:72-103). Units mirror the reference CLI's minSize parsing:
+    'b' compares bytes, '%' percent-of-total bytes (total via an
+    unpartitioned window over the tiny rollup), 'loc' lines of code. Re-key
+    + second groupBy — two cheap shuffles on an already-tiny aggregate;
+    type/color re-attach from the broadcast language dimension (null for
+    the synthetic Other row)."""
+    if unit == "%":
+        from pyspark.sql import Window
+
+        total = F.sum("bytes").over(Window.partitionBy())
+        small = 100.0 * F.col("bytes") / total < min_bytes
+    elif unit == "loc":
+        small = F.col("lines_code") < min_bytes
+    else:
+        small = F.col("bytes") < min_bytes
     rekeyed = rollup.withColumn(
-        "lang",
-        F.when(F.col("bytes") < min_bytes, F.lit("Other")).otherwise(F.col("lang")),
+        "lang", F.when(small, F.lit("Other")).otherwise(F.col("lang"))
     )
-    return rekeyed.groupBy("lang").agg(
+    out = rekeyed.groupBy("lang").agg(
         F.sum("bytes").alias("bytes"),
         F.sum("lines_total").alias("lines_total"),
         F.sum("lines_content").alias("lines_content"),
         F.sum("lines_code").alias("lines_code"),
         F.sum("n_docs").alias("n_docs"),
+    )
+    type_map, color_map = _type_color_maps()
+    return out.withColumn("type", type_map[F.col("lang")]).withColumn(
+        "color", color_map[F.col("lang")]
     )
 
 

@@ -30,12 +30,14 @@ def scrubbed_col(text: Column) -> Column:
     for rule in load_scrub_config()["pii_rules"]:
         out = F.regexp_replace(out, _java(rule["pattern"]), rule["replacement"])
     # Presence gate: every PII rule's pattern requires a digit or '@'
-    # (emails need '@'; IP/SSN/CC/phone need digits), so texts without
-    # either are provably fixpoints of the chain — one cheap char-class
-    # scan replaces five full regexp_replace passes for them, and the
-    # CASE WHEN branch keeps the output byte-identical either way.
+    # (emails need '@'; IP/SSN/CC/phone need digits) — except the
+    # email_local_residue cleanup, which fires on a literal '<EMAIL>'
+    # (possibly pre-existing in the input) — so texts matching none of
+    # those are provably fixpoints of the chain: one cheap scan replaces
+    # six full regexp_replace passes for them, and the CASE WHEN branch
+    # keeps the output byte-identical either way.
     # (tests/test_pipeline_parity.py::test_scrub_gate_is_exact fuzzes this.)
-    return F.when(text.rlike("[0-9@]"), out).otherwise(text)
+    return F.when(text.rlike("[0-9@]|<EMAIL>"), out).otherwise(text)
 
 
 def tokens_col(text: Column) -> Column:

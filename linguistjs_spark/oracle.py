@@ -196,7 +196,14 @@ def path_filter(
 # --------------------------------------------------------------------------
 
 _SHEBANG_RE = re.compile(r"^#!")
-_MODELINE_GATE_RE = re.compile(r"-\*-|(syntax|filetype|ft)\s*=")
+# ONE explicit whitespace class shared by every modeline-hint consumer (the
+# native pipeline gate, the pandas kernel, and this oracle): Java's (?U)\s
+# (Unicode White_Space) and Python's \s disagree on \x1c-\x1f, so a regex-\s
+# formulation made the native gate a non-superset of the kernel's check and
+# gated/ungated classification silently diverged on such first lines
+# (ADVICE r01). \n excluded on purpose: the gate runs on the first line.
+MODELINE_GATE_PAT = r"-\*-|(?:syntax|filetype|ft)[ \t\r\f\x0B]*="
+_MODELINE_GATE_RE = re.compile(MODELINE_GATE_PAT)
 _MODELINE_EXTRACT_RE = re.compile(r"^.*-\*-(.+)-\*-.*$")
 _COMPLEX_EXT_RE = re.compile(r"\..+\.")
 

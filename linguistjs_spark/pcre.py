@@ -67,6 +67,139 @@ def _dequadratic(pat: str) -> str:
     return pat.replace(r"^\s*", r"^[^\S\n]*")
 
 
+def _first_consumed_can_be_ws(tokens) -> bool:
+    """True if a regex token sequence can CONSUME a whitespace character as
+    its first matched character (zero-width tokens are skipped; optional
+    tokens fall through to their successor)."""
+    import re._constants as C
+
+    def tok_can_be_ws(op, av) -> bool:
+        if op is C.LITERAL:
+            return chr(av).isspace()
+        if op is C.NOT_LITERAL:
+            return True  # matches almost anything, incl. some whitespace
+        if op is C.ANY:
+            return False  # '.' without DOTALL skips \n but matches ' '... be strict:
+        if op is C.IN:
+            return _class_can_be_ws(av)
+        if op is C.BRANCH:
+            return any(_first_consumed_can_be_ws(b) for b in av[1])
+        if op is C.SUBPATTERN:
+            return _first_consumed_can_be_ws(av[3])
+        if op in (C.MAX_REPEAT, C.MIN_REPEAT):
+            return _first_consumed_can_be_ws(av[2])
+        return False
+
+    def tok_can_be_empty(op, av) -> bool:
+        if op is C.AT:
+            return True
+        if op in (C.MAX_REPEAT, C.MIN_REPEAT):
+            return av[0] == 0
+        if op in (C.ASSERT, C.ASSERT_NOT):
+            return True
+        if op is C.SUBPATTERN:
+            return all(tok_can_be_empty(o, a) for o, a in av[3])
+        if op is C.BRANCH:
+            return any(
+                all(tok_can_be_empty(o, a) for o, a in b) for b in av[1]
+            )
+        return False
+
+    for op, av in tokens:
+        if op is C.ANY:
+            # '.' matches ' ' and '\t' (everything but \n): whitespace-capable
+            return True
+        if tok_can_be_ws(op, av):
+            return True
+        if not tok_can_be_empty(op, av):
+            return False
+    return False
+
+
+def _class_can_be_ws(items) -> bool:
+    import re._constants as C
+
+    ws = [ord(c) for c in " \t\r\n\f\x0b"]
+    negate = any(op is C.NEGATE for op, _ in items)
+    hit = False
+    for op, av in items:
+        if op is C.LITERAL and av in ws:
+            hit = True
+        elif op is C.RANGE and any(av[0] <= w <= av[1] for w in ws):
+            hit = True
+        elif op is C.CATEGORY and av in (
+            C.CATEGORY_SPACE, C.CATEGORY_NOT_WORD, C.CATEGORY_NOT_DIGIT
+        ):
+            hit = True
+    if negate:
+        # negated class matches whitespace unless every ws char is excluded —
+        # conservatively report whitespace-capable unless the class lists \s
+        excluded = {av for op, av in items if op is C.LITERAL}
+        cat_space = any(
+            op is C.CATEGORY and av is C.CATEGORY_SPACE for op, av in items
+        )
+        return not (cat_space or all(w in excluded for w in ws))
+    return hit
+
+
+def assert_dequadratic_safe(pattern: str, flags: int) -> None:
+    """Structural guarantee behind _dequadratic's ``^\\s*`` rewrite
+    (ADVICE r01): the match-existence-equivalence argument requires that
+    nothing FOLLOWING the rewritten prefix can consume a whitespace
+    character first — otherwise a cross-line match could have no intra-line
+    witness. Enforced on the regex PARSE TREE (not a probe corpus), so a
+    heuristics.json refresh that violates the invariant fails loudly at
+    driver compile time rather than silently changing match semantics."""
+    import re._constants as C
+    import re._parser as sre_parse
+
+    try:
+        parsed = sre_parse.parse(pattern, flags)
+    except re.error:
+        return  # compile will raise the real error
+
+    def walk(tokens) -> None:
+        seq = list(tokens)
+        for i, (op, av) in enumerate(seq):
+            # recurse into structures
+            if op is C.SUBPATTERN:
+                walk(av[3])
+            elif op is C.BRANCH:
+                for b in av[1]:
+                    walk(b)
+            elif op in (C.MAX_REPEAT, C.MIN_REPEAT):
+                walk(av[2])
+            elif op in (C.ASSERT, C.ASSERT_NOT):
+                walk(av[1])
+            # detect the rewritten prefix: AT_BEGINNING/newline then [^\S\n]*
+            is_anchor = op is C.AT or (
+                op is C.IN and any(
+                    o is C.LITERAL and a == ord("\n") for o, a in av
+                ) if op is C.IN else False
+            ) or (op is C.LITERAL and av == ord("\n"))
+            if not is_anchor or i + 1 >= len(seq):
+                continue
+            nop, nav = seq[i + 1]
+            if nop not in (C.MAX_REPEAT, C.MIN_REPEAT) or nav[0] != 0:
+                continue
+            body = list(nav[2])
+            if len(body) != 1 or body[0][0] is not C.IN:
+                continue
+            if not _class_can_be_ws(body[0][1]):
+                continue
+            # found "<line-anchor><ws-ish>*" — check the continuation
+            if _first_consumed_can_be_ws(seq[i + 2:]):
+                raise ValueError(
+                    "unsafe _dequadratic rewrite: continuation after the "
+                    f"line-anchored whitespace run can itself consume "
+                    f"whitespace in pattern {pattern!r} — the intra-line "
+                    "rewrite is not match-existence-equivalent here; adjust "
+                    "pcre._dequadratic for this pattern"
+                )
+
+    walk(parsed)
+
+
 def convert_pcre(pattern: str, dequadratic: bool = True) -> tuple[str, int]:
     """Convert a PCRE pattern string to (python_pattern, flags)."""
     final = pattern
@@ -109,12 +242,16 @@ def convert_pcre(pattern: str, dequadratic: bool = True) -> tuple[str, int]:
         final = re.sub(r"^\s+|\s+$|\n", "", final, flags=re.MULTILINE)
         final = re.sub(r"\s+", " ", final)
 
-    if dequadratic and "m" in flags:
-        final = _dequadratic(final)
-
     py_flags = 0
     for ch in flags:
         py_flags |= _FLAG_MAP.get(ch, 0)
+
+    if dequadratic and "m" in flags:
+        rewritten = _dequadratic(final)
+        if rewritten != final:
+            assert_dequadratic_safe(rewritten, py_flags)
+        final = rewritten
+
     return final, py_flags
 
 

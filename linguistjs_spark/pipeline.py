@@ -127,7 +127,12 @@ def run_pipeline(
         if cfg.check_shebang:
             needs_text = needs_text | first.startswith("#!")
         if cfg.check_modeline:
-            needs_text = needs_text | first.rlike(r"(?U)-\*-|(syntax|filetype|ft)\s*=")
+            # shared explicit whitespace class (oracle.MODELINE_GATE_PAT):
+            # makes this native gate a provable superset of the kernel's
+            # modeline check across the Java/Python \s divergence
+            from .oracle import MODELINE_GATE_PAT
+
+            needs_text = needs_text | first.rlike(MODELINE_GATE_PAT)
     if cfg.check_heuristics:
         hexts = content_needing_exts(cfg)
         if hexts:

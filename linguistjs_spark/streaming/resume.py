@@ -76,31 +76,63 @@ def resumable_run(
     snapshot = input_snapshot_id(pages)
     done = completed_buckets(spark, lineage_dir, snapshot)
 
-    bucket_col = F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
-    processed, skipped = [], []
-    for b in range(num_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
-        if fail_after is not None and len(processed) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} buckets")
-        t0 = time.perf_counter()
-        part = pages.filter(bucket_col == b)
-        labels = run_pipeline(spark, part, cfg)
-        rows_in = part.count()
-        # partition-scoped overwrite: idempotent under re-run
-        labels.write.mode("overwrite").parquet(f"{labels_dir}/bucket={b}")
-        rows_kept = spark.read.parquet(f"{labels_dir}/bucket={b}").filter("keep").count()
-        wall_ms = int((time.perf_counter() - t0) * 1000)
-        lineage_row = spark.createDataFrame(
-            [(b, snapshot, "ok", rows_in, rows_kept, wall_ms)],
-            schema="bucket int, input_snapshot string, status string, "
-            "rows_in long, rows_kept long, wall_ms long",
-        ).withColumn("finished_at", F.current_timestamp())
-        lineage_row.write.mode("append").parquet(lineage_dir)
-        processed.append(b)
+    skipped = sorted(done & set(range(num_buckets)))
+    pending = [b for b in range(num_buckets) if b not in done]
+    if fail_after is not None and len(pending) > fail_after:
+        # crash-injection hook: process only the first N buckets, then die
+        crash_after_write = True
+        pending = pending[:fail_after]
+    else:
+        crash_after_write = False
+    if not pending:
+        return {"processed": [], "skipped": skipped, "snapshot": snapshot}
 
-    return {"processed": processed, "skipped": skipped, "snapshot": snapshot}
+    # ONE job writes every pending bucket (VERDICT r01 #5 — the per-bucket
+    # loop ran ~2 full input scans per bucket). partitionBy(bucket) with
+    # dynamic partition overwrite keeps the per-bucket idempotent-overwrite
+    # contract: only the buckets present in this write are replaced, a
+    # crashed half-written bucket is rewritten wholesale on the next run
+    # (write-audit-publish per partition, the parquet-dir analog of
+    # Iceberg's overwritePartitions).
+    t0 = time.perf_counter()
+    bucket_col = F.pmod(F.xxhash64("url"), F.lit(num_buckets)).cast("int")
+    part = pages.filter(bucket_col.isin(pending))
+    labels = run_pipeline(spark, part, cfg).withColumn("bucket", bucket_col)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        labels.write.mode("overwrite").partitionBy("bucket").parquet(labels_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    wall_ms = int((time.perf_counter() - t0) * 1000)
+
+    # audit pass: rows_in/rows_kept per bucket from ONE scan of the WRITTEN
+    # labels (the pipeline emits exactly one label row per input row, so
+    # bucket counts over the output equal input counts) — never a second
+    # scan of the source
+    stats = {
+        r["bucket"]: (r["n"], r["k"])
+        for r in spark.read.parquet(labels_dir)
+        .filter(F.col("bucket").isin(pending))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("keep").cast("long")).alias("k"))
+        .collect()
+    }
+    lineage_rows = [
+        (b, snapshot, "ok", *stats.get(b, (0, 0)), wall_ms) for b in pending
+    ]
+    spark.createDataFrame(
+        lineage_rows,
+        schema="bucket int, input_snapshot string, status string, "
+        "rows_in long, rows_kept long, wall_ms long",
+    ).withColumn("finished_at", F.current_timestamp()).write.mode(
+        "append"
+    ).parquet(lineage_dir)
+
+    if crash_after_write:
+        raise RuntimeError(f"injected failure after {fail_after} buckets")
+    return {"processed": pending, "skipped": skipped, "snapshot": snapshot}
 
 
 def read_labels(spark: SparkSession, output_dir: str) -> DataFrame:

@@ -174,3 +174,38 @@ def test_glob_regexes_fast_and_equivalent():
     t0 = _time.perf_counter()
     rx.search(long_url)
     assert _time.perf_counter() - t0 < 0.05
+
+
+import pytest
+
+
+@pytest.mark.parametrize("pat,unsafe", [
+    (r"^\s*\nfoo", True),          # continuation starts with \n
+    (r"^\s*\s+bar", True),         # continuation starts with \s
+    (r"^\s* x", True),             # literal-space continuation
+    (r"^\s*(import|module)\s", False),
+    (r"^\s*[a-z]+", False),
+    (r"^\s*(?:[ \t]|x)y", True),   # branch with a ws-capable first alternative
+    (r"^\s*[^#]+:-", True),        # negated class matches whitespace
+])
+def test_dequadratic_structural_guard(pat, unsafe):
+    """ADVICE r01: the ^\\s* intra-line rewrite must fail LOUDLY when a
+    snapshot refresh introduces a pattern whose continuation can consume
+    whitespace (the equivalence argument breaks there) — checked on the
+    regex parse tree, not a probe corpus."""
+    from linguistjs_spark.pcre import convert_pcre
+
+    if unsafe:
+        with pytest.raises(ValueError, match="unsafe _dequadratic"):
+            convert_pcre(pat)
+    else:
+        convert_pcre(pat)
+
+
+def test_snapshot_patterns_pass_structural_guard():
+    # every heuristic pattern in the committed snapshot compiles through the
+    # guard (load_metadata would raise otherwise)
+    from linguistjs_spark.metadata import _build
+
+    md = _build()
+    assert md.disambiguations

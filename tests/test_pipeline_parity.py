@@ -147,3 +147,26 @@ def test_scrub_gate_is_exact(spark):
     }
     for i, t in rows:
         assert got[i].encode() == scrub_text(t).encode(), (i, t, got[i])
+
+
+def test_scrub_long_local_part_fully_redacted(spark):
+    """ADVICE r01: the RFC-bounded email rule alone leaves the prefix of a
+    >64-char local part in cleartext; the bounded residue sweep removes it.
+    Byte-identical across Spark / python oracle by the shared config."""
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.operators.scrub import scrubbed_col
+    from linguistjs_spark.oracle import scrub_text
+
+    long_local = "a" * 300 + "@mail.example"
+    cases = [
+        f"contact {long_local} now",
+        "plain text with no pii at all",
+        "pre-existing literal junk<EMAIL> stays scrubbed",
+    ]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = [r["s"] for r in df.select(scrubbed_col(F.col("text")).alias("s")).collect()]
+    for t, g in zip(cases, got):
+        assert g == scrub_text(t), t
+    assert got[0] == "contact <EMAIL> now"
+    assert "junk" not in got[2]
