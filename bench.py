@@ -108,6 +108,47 @@ def bench_pages(spark, sf_dir: str, replicate: int):
     return pages
 
 
+def skewed_pages(spark, sf_dir: str, replicate: int):
+    """bench_pages with a pathological long-doc tail: ~0.05% of documents get
+    300x the text (~600 KB each) — the crawl-reality case where a handful
+    of giant pages pin whole tasks. Deterministic (url-hash picks the tail).
+
+    Calibration note (measured at sf0.1 x16, 128 partitions, 16 cores):
+    at a mild tail (0.2% x 25x) hash partitioning over 128 partitions
+    already averages the skew out and repartitionByRange LOSES ~10% to its
+    range-boundary sampling pass; at 0.05% x 300x the per-doc work rivals a
+    partition's normal load and range packing wins ~12%. The mitigation is
+    a knob for genuinely heavy tails, not a default."""
+    from pyspark.sql import functions as F
+
+    pages = bench_pages(spark, sf_dir, replicate)
+    long_tail = F.pmod(F.xxhash64("url"), F.lit(2000)) == 0
+    return pages.withColumn(
+        "text",
+        F.when(long_tail, F.repeat(F.col("text"), 300)).otherwise(F.col("text")),
+    )
+
+
+def run_skew_job(spark, sf_dir: str, replicate: int, by_length: bool) -> int:
+    """Skewed-input pipeline run, hash-partitioned vs length-range-partitioned
+    (QualityFilterConfig.repartition_by_length — the straggler-mitigation
+    path; BENCH compares the two so the mitigation is evidenced, not
+    asserted)."""
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.pipeline import run_pipeline
+
+    cfg = QualityFilterConfig(
+        repartition_buckets=PARTS, repartition_by_length=by_length
+    )
+    labels = run_pipeline(spark, skewed_pages(spark, sf_dir, replicate), cfg)
+    rows = labels.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("bytes").alias("b")
+    ).collect()
+    return sum(r["n"] for r in rows)
+
+
 def build_pipeline_job(spark, sf_dir: str, replicate: int):
     """The headline job as a DataFrame: full quality-filter pipeline ->
     per-lang rollup. One pass: a single groupBy forces every column
@@ -204,6 +245,15 @@ def main() -> None:
                 .select(F.explode("embedding")).collect()]
         t, _ = timed(lambda: SIM.brute_force_topk(emb, qvec, k=10).collect())
         queries["ann_bruteforce"] = round(t, 3)
+
+        # straggler stress: same pipeline over a long-doc-tail input, hash
+        # partitioning vs byte-length range partitioning. The range mode
+        # must not lose (and should win as partitions shrink relative to
+        # the tail) — evidences repartition_by_length actually engaging.
+        t, _ = timed(run_skew_job, spark, SF_DIR, REPLICATE, False)
+        queries["pipeline_skew_hash"] = round(t, 3)
+        t, _ = timed(run_skew_job, spark, SF_DIR, REPLICATE, True)
+        queries["pipeline_skew_range"] = round(t, 3)
     finally:
         spark.stop()
 

@@ -47,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--child-languages", action="store_true")
     ap.add_argument("--keep-vendored", action="store_true")
     ap.add_argument("--keep-binary", action="store_true")
+    ap.add_argument("--list-files", action="store_true",
+                    help="list analysed files under each language "
+                    "(src/cli.ts:113-151 presentation)")
+    ap.add_argument("--list-files-limit", type=int, default=10_000,
+                    help="max files collected to the driver for --list-files")
     ap.add_argument("--output", default=None, help="write labels+rollups here")
     ap.add_argument("--buckets", type=int, default=0,
                     help="resumable per-bucket run with lineage (0 = one shot)")
@@ -126,10 +131,31 @@ def main(argv: list[str] | None = None) -> int:
             rows = roll.collect()
             total = sum(r["bytes"] for r in rows) or 1
             width = max((len(r["lang"]) for r in rows), default=4)
-            for r in sorted(rows, key=lambda r: (-r["bytes"], r["lang"])):
+            files_per_lang: dict[str, list] = {}
+            if args.list_files:
+                # grouped per-file listing (the reference's listFiles mode,
+                # src/cli.ts:113-151). Bounded collect: top files by bytes
+                # up to the cap — at corpus scale use --output + SQL instead.
+                from pyspark.sql import functions as F
+
+                frows = (
+                    labels.filter(F.col("keep") & F.col("lang").isNotNull())
+                    .select("lang", "url", "bytes")
+                    .orderBy(F.desc("bytes"), F.asc("url"))
+                    .limit(args.list_files_limit)
+                    .collect()
+                )
+                for fr in frows:
+                    files_per_lang.setdefault(fr["lang"], []).append(fr)
+            for i, r in enumerate(sorted(rows, key=lambda r: (-r["bytes"], r["lang"]))):
                 pct = 100.0 * r["bytes"] / total
-                print(f"{r['lang']:<{width}}  {r['bytes']:>12} B  {pct:6.2f}%  "
-                      f"{r['type'] or '-'}")
+                print(f"{i + 1:>3}. {r['lang']:<{width}}  {r['bytes']:>12} B  "
+                      f"{pct:6.2f}%  {r['type'] or '-'}")
+                if args.list_files:
+                    for fr in files_per_lang.get(r["lang"], []):
+                        fpct = 100.0 * fr["bytes"] / total
+                        print(f"       {fr['url']:<50}  {fr['bytes']:>10} B  "
+                              f"{fpct:6.2f}%")
         return 0
     finally:
         if owns_session:

@@ -89,3 +89,21 @@ def test_cli_runs(spark, tmp_path, capsys):
     rc = main([path, "--min-size", "1kb"])
     assert rc == 0
     assert "B" in capsys.readouterr().out
+
+
+def test_cli_list_files_mode(spark, tmp_path, capsys):
+    """--list-files prints the reference's grouped per-language file listing
+    (src/cli.ts:113-151) with a bounded driver collect."""
+    from linguistjs_spark.cli import main
+    from linguistjs_spark.sources.pages import pages_df
+
+    path = str(tmp_path / "pages")
+    pages_df(spark, n_bulk=40).write.mode("overwrite").parquet(path)
+    rc = main([path, "--list-files", "--list-files-limit", "20"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = out.splitlines()
+    # numbered language rows plus indented file rows
+    assert any(l.lstrip().startswith("1.") for l in lines)
+    assert any(l.startswith("       https://") for l in lines)
+    assert sum(1 for l in lines if l.startswith("       https://")) <= 20
