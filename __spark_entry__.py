@@ -34,6 +34,7 @@ from linguistjs_spark.operators import similarity as SIM
 from linguistjs_spark.operators.quality import quality_drop_reason_col, quality_struct
 from linguistjs_spark.operators.scrub import scrubbed_col
 from linguistjs_spark.operators.multimodal import extract_media_features, synthetic_media_df
+from linguistjs_spark.operators import extract as EX
 
 # pipeline config used for oracle-checked cascade queries: pure reference
 # semantics, graft stages off (they are oracle-checked separately)
@@ -586,6 +587,28 @@ def q_dedup_cardinality(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    # HTML -> text extraction (north-star invariant: byte-identical extracted
+    # text per url). The fixture parquet stores html as the utf-8 bytes of
+    # text, so real boilerplate to strip is synthesized deterministically
+    # from documents.text (synth_html_col — tags, script/style blocks,
+    # comments, entities). The oracle recomputes with the pure-python twin
+    # and compares md5 over the UTF-8 bytes of the extracted text — a
+    # byte-identity check per document, not an approximate one.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ext = docs.select(
+        "doc_id",
+        EX.extract_text_col(
+            EX.synth_html_col(F.col("doc_id"), F.col("text"))
+        ).alias("ext"),
+    )
+    return ext.select(
+        "doc_id",
+        F.length("ext").alias("ext_len"),
+        F.md5(F.col("ext").cast("binary")).alias("ext_md5"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -627,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
+        "html_extract": q_html_extract,
     }
 
 
@@ -741,6 +765,37 @@ def _lsh_ann_oracle_sql() -> str:
         "FROM (VALUES {values}) t(v, s)",
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
         "WHERE FALSE",
+    )
+
+
+def _html_extract_oracle_sql() -> str:
+    # Byte-identity oracle for the extraction stage: the pure-python twin
+    # (pinned against the Spark column chain in tests/test_extract.py)
+    # recomputes synth_html + extract_text per document and the md5 of the
+    # extracted UTF-8 bytes is compared — any single-byte divergence between
+    # the Spark chain and the twin flips the hash.
+    import hashlib
+
+    import duckdb
+
+    from linguistjs_spark.operators.extract import extract_text, synth_html
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vals = []
+    for doc_id, text in rows:
+        e = extract_text(synth_html(doc_id, text))
+        vals.append((doc_id, len(e), hashlib.md5(e.encode("utf-8")).hexdigest()))
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, CAST(l AS BIGINT) AS ext_len, "
+        "m AS ext_md5 FROM (VALUES {values}) t(d, l, m)",
+        "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) ext_len, "
+        "CAST(NULL AS VARCHAR) ext_md5 WHERE FALSE",
     )
 
 
@@ -876,7 +931,7 @@ WITH base AS (
              WHEN 6 THEN 'fr' WHEN 7 THEN 'php' WHEN 8 THEN 'ecl'
              ELSE 'asc' END) AS url,
          {_CASCADE_CASE} AS lang,
-         string_split_regex(lower(text), '\W+') AS toks,
+         string_split_regex(lower(text), '\\W+') AS toks,
          regexp_matches(text, '[^\\x00-\\x7F]') AS has_na,
          len({_WORDS}) AS n_words,
          CASE WHEN len({_WORDS}) > 0
@@ -884,7 +939,7 @@ WITH base AS (
                    / len({_WORDS})
               ELSE 0.0 END AS mean_wl,
          CASE WHEN length(text) > 0
-              THEN CAST(len(regexp_extract_all(text, '[#<>{{}}\[\]\\^~|]')) AS DOUBLE)
+              THEN CAST(len(regexp_extract_all(text, '[#<>{{}}\\[\\]\\^~|]')) AS DOUBLE)
                    / length(text)
               ELSE 0.0 END AS sym_ratio,
          CASE WHEN len({_NONBLANK}) > 0
@@ -1111,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
+        "html_extract": _html_extract_oracle_sql(),
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "dedup_cardinality": _DEDUP_CARDINALITY_SQL,
         "media_features": _MEDIA_FEATURES_SQL,

@@ -1,0 +1,103 @@
+"""HTML->text extraction: byte-identity between the native Spark column
+chain and the pure-python twin, plan shape (no Python eval, no shuffle),
+and the driver-contract query."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linguistjs_spark.operators.extract import (
+    extract_text,
+    extract_text_col,
+    extracted_pages,
+    synth_html,
+    synth_html_col,
+)
+
+ADVERSARIAL = [
+    "", "<", ">", "<>", "a<b>c", "plain text",
+    "<ſcript>x</ſcript>hello",   # U+017F long s: must NOT strip
+    "<SCRIPT>var a='</div>';</ScRiPt>after",
+    "<style media='x'>p{}</style>ok",
+    "<!-- c --><p>one</p><!-- <p>no</p> -->",
+    "a&amp;lt;b &nbsp;&quot;q&quot; &#39;s&apos;",
+    "<p>a</p>\n\n\n\n<p>b</p>",
+    "  \t\r\n hello \x0b\f world \n\n ",
+    "<div\nclass='x'>multi\nline</div>",
+    "<script>no close tag",
+    "<br/><hr /><h3 id=1>T</h3>",
+    "x \x1c\x1d\x1e\x1f y",                # \x1c-\x1f are NOT spec whitespace
+    "<scripty>not script</scripty>",
+    "<pé>unicode tagish</pé>",
+    "text with K kelvin <K>tag</K>",  # U+212A: must NOT fold to k
+    "&amp;amp;", "<td>a</td><em>i</em>",
+    "<title >t</title >",
+    "<p>trailing newline</p>\n",
+]
+
+
+def _fuzz_cases(n=300, seed=11):
+    rng = random.Random(seed)
+    alphabet = list("<>/ab &;#pdivscrptl-!\"'\n\t\r 139&ampltgnbsqéſK\x1c")
+    return ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+            for _ in range(n)]
+
+
+def test_twin_parity_adversarial_and_fuzz(spark):
+    cases = ADVERSARIAL + _fuzz_cases()
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, h string"
+    )
+    got = {r.i: r.e for r in
+           df.select("i", extract_text_col(F.col("h")).alias("e")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == extract_text(c), (i, repr(c))
+
+
+def test_twin_parity_fixture_corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = (
+        docs.select("doc_id", "text")
+        .withColumn("html", synth_html_col(F.col("doc_id"), F.col("text")))
+        .withColumn("ext", extract_text_col(F.col("html")))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.html == synth_html(r.doc_id, r.text)
+        assert r.ext == extract_text(r.html)
+
+
+def test_extraction_spec_examples():
+    # pin a few outputs so a spec change is a loud diff, not silent drift
+    assert extract_text("<p>a</p><p>b</p>") == "a\n\nb"
+    assert extract_text("<script>x</script>ok<style>y</style>") == "ok"
+    assert extract_text("a&amp;lt;b") == "a&lt;b"
+    assert extract_text("<em>i</em>t") == "i t"
+    assert extract_text("<p>a</p>\n\n\n\n\n<p>b</p>") == "a\n\nb"
+
+
+def test_extract_plan_is_native_no_shuffle(spark):
+    pages = spark.createDataFrame(
+        [("u", bytearray(b"<p>hi</p>"))], "url string, html binary"
+    )
+    plan = extracted_pages(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # pure projection: no shuffle
+
+
+def test_html_extract_query_matches_twin_md5(spark):
+    import hashlib
+
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: (r.ext_len, r.ext_md5)
+           for r in entry_mod.q_html_extract(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    for r in docs.collect():
+        e = extract_text(synth_html(r.doc_id, r.text))
+        assert got[r.doc_id] == (
+            len(e), hashlib.md5(e.encode("utf-8")).hexdigest()
+        ), r.doc_id
