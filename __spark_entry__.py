@@ -609,6 +609,28 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    # CCNet-style corpus-wide paragraph dedup: first occurrence of each
+    # paragraph (>=8 chars) survives, documents are reassembled in order.
+    # The fixture corpus has no repeated paragraphs, so duplicates are
+    # planted deterministically (full-text copies of every 7th doc at
+    # offset ids) — the copies must come back with only their short
+    # paragraphs kept. The oracle restates the whole thing in the string
+    # domain (DuckDB partitions by paragraph text where Spark partitions by
+    # xxhash64); md5 of the reassembled text makes the compare byte-exact.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = DD.paragraph_dedup(docs.unionByName(copies), min_chars=8)
+    return out.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(F.col("text_dedup").cast("binary")).alias("dedup_md5"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -651,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
         "html_extract": q_html_extract,
+        "paragraph_dedup": q_paragraph_dedup,
     }
 
 
@@ -797,6 +820,43 @@ def _html_extract_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) ext_len, "
         "CAST(NULL AS VARCHAR) ext_md5 WHERE FALSE",
     )
+
+
+# paragraph_dedup: full string-domain restatement of the CCNet-style
+# paragraph dedup (DuckDB partitions by paragraph text where Spark uses the
+# xxhash64 fingerprint — identical equivalence classes absent 64-bit
+# collisions). md5 over the reassembled text = byte-identity compare.
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+), paras AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(text, chr(10)),
+                               (p, i) -> struct_pack(pos := i, para := p))) AS s
+  FROM base
+), flat AS (
+  SELECT doc_id, s.pos AS pos, s.para AS para FROM paras
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rk
+  FROM flat WHERE length(para) >= 8
+), kept AS (
+  SELECT doc_id, pos, para FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT doc_id, pos, para FROM flat WHERE length(para) < 8
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(string_split(d.text, chr(10))) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(a.text_dedup, '')) AS dedup_md5
+FROM base d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def _ivf_ann_oracle_sql() -> str:
@@ -1167,6 +1227,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "dedup_cardinality": _DEDUP_CARDINALITY_SQL,
         "media_features": _MEDIA_FEATURES_SQL,

@@ -310,3 +310,85 @@ def simhash_near_pairs(
         .distinct()
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 8,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup in the CCNet style: every newline-
+    separated paragraph is kept only at its first occurrence (global order =
+    ``(id, position)``); later repeats are dropped and each document's text
+    is reassembled from its surviving paragraphs in original order.
+
+    Output: one row per input document —
+    ``(id, n_paras, n_kept, text_dedup)``.
+
+    Scale shape (10^12 docs):
+      * posexplode + xxhash64 fingerprint is a narrow projection — the
+        shuffle key is the 8-byte paragraph hash, never the paragraph text
+        twice (the text rides the shuffle once, as the window payload).
+      * one shuffle for the first-occurrence window on ``hash``, one for the
+        reassembly groupBy on ``id`` — both AQE-coalesced.
+      * skew guard: paragraphs shorter than ``min_chars`` (empty lines,
+        separators, "---") are *always kept* and never enter the dedup
+        window. These are exactly the mega-hot hash keys (billions of empty
+        paragraphs hashing identically would funnel into one reducer), and
+        dropping structural one-liners corpus-wide is wrong anyway.
+      * collision posture: dedup equivalence is the 64-bit hash domain;
+        expected false-merges ~ n_paras^2 / 2^64 (same stance as
+        exact_dedup).
+    """
+    from pyspark.sql.window import Window
+
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    )
+    dedupable = F.length("para") >= F.lit(min_chars)
+    # first-occurrence rank only among dedupable paragraphs; short ones get
+    # rank 1 unconditionally (partition key NULL would collapse them into
+    # one window partition, so gate the window INPUT instead).
+    w = Window.partitionBy("ph").orderBy(F.col(id_col), F.col("pos"))
+    long_kept = (
+        paras.filter(dedupable)
+        .withColumn("ph", F.xxhash64("para"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("ph", "rk")
+    )
+    short_kept = paras.filter(~dedupable)
+    kept = long_kept.unionByName(short_kept)
+    n_in = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"),
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+    # left join keeps documents whose every paragraph was dropped (their
+    # deduped text is empty, not absent); broadcast is wrong here (both
+    # sides are corpus-sized) — this is a plain co-partitioned equi-join.
+    return (
+        n_in.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )

@@ -1,0 +1,64 @@
+"""CCNet-style paragraph dedup: first-occurrence semantics, in-order
+reassembly, short-paragraph skew guard, empty-result documents."""
+
+from pyspark.sql import functions as F
+
+from linguistjs_spark.operators.dedup import paragraph_dedup
+
+
+def _run(spark, rows, min_chars=8):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = paragraph_dedup(df, min_chars=min_chars)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def test_first_occurrence_wins_and_order_preserved(spark):
+    rows = [
+        (1, "alpha paragraph\n--\nbeta paragraph"),
+        (2, "beta paragraph\ngamma paragraph\nalpha paragraph"),
+        (3, "gamma paragraph"),
+    ]
+    got = _run(spark, rows)
+    # doc 1 is first for alpha+beta; '--' is short -> always kept
+    assert got[1].text_dedup == "alpha paragraph\n--\nbeta paragraph"
+    assert (got[1].n_paras, got[1].n_kept) == (3, 3)
+    # doc 2 keeps only gamma (alpha/beta first seen in doc 1), order preserved
+    assert got[2].text_dedup == "gamma paragraph"
+    assert (got[2].n_paras, got[2].n_kept) == (3, 1)
+    # doc 3's gamma already claimed by doc 2 (lower doc_id)
+    assert got[3].text_dedup == ""
+    assert (got[3].n_paras, got[3].n_kept) == (1, 0)
+
+
+def test_short_paragraphs_never_dedup(spark):
+    # identical short separators repeat corpus-wide; they are structural,
+    # would be a mega-hot shuffle key, and must all survive
+    rows = [(i, "---\nunique paragraph number %d\n---" % i) for i in range(20)]
+    got = _run(spark, rows)
+    for i in range(20):
+        assert got[i].text_dedup == rows[i][1]
+        assert got[i].n_kept == 3
+
+
+def test_within_document_repeat_collapses(spark):
+    rows = [(7, "same long paragraph\nsame long paragraph\nother long text")]
+    got = _run(spark, rows)
+    assert got[7].text_dedup == "same long paragraph\nother long text"
+    assert (got[7].n_paras, got[7].n_kept) == (3, 2)
+
+
+def test_empty_and_trailing_newline_docs(spark):
+    rows = [(1, ""), (2, "long enough paragraph\n")]
+    got = _run(spark, rows)
+    assert got[1].text_dedup == "" and got[1].n_paras == 1 and got[1].n_kept == 1
+    # trailing newline -> trailing empty paragraph, kept (short)
+    assert got[2].text_dedup == "long enough paragraph\n"
+    assert got[2].n_paras == 2 and got[2].n_kept == 2
+
+
+def test_min_chars_boundary(spark):
+    # exactly min_chars chars participates in dedup; one below does not
+    rows = [(1, "12345678\n1234567"), (2, "12345678\n1234567")]
+    got = _run(spark, rows, min_chars=8)
+    assert got[1].text_dedup == "12345678\n1234567"
+    assert got[2].text_dedup == "1234567"
