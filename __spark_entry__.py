@@ -35,6 +35,7 @@ from linguistjs_spark.operators.quality import quality_drop_reason_col, quality_
 from linguistjs_spark.operators.scrub import scrubbed_col
 from linguistjs_spark.operators.multimodal import extract_media_features, synthetic_media_df
 from linguistjs_spark.operators import extract as EX
+from linguistjs_spark.operators import decontam as DCN
 
 # pipeline config used for oracle-checked cascade queries: pure reference
 # semantics, graft stages off (they are oracle-checked separately)
@@ -631,6 +632,18 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    # Eval-set decontamination: flag docs sharing any word 13-gram with the
+    # benchmark subset (every 50th doc — which also catches that subset's
+    # planted near-duplicates). Oracle restates the shingle domain in
+    # strings (hash-domain sets == string-domain sets absent collisions).
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return DCN.contamination_flags(docs, bench, n=13).select(
+        "doc_id", "n_hits", "is_contaminated"
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -674,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "html_extract": q_html_extract,
         "paragraph_dedup": q_paragraph_dedup,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -820,6 +834,39 @@ def _html_extract_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) ext_len, "
         "CAST(NULL AS VARCHAR) ext_md5 WHERE FALSE",
     )
+
+
+# decontaminate: string-domain restatement of the 13-gram probe (same
+# tokenization CTE as _MINHASH_PAIRS_SQL; the Spark side joins on xxhash64
+# of the identical space-joined windows).
+_DECONTAMINATE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(
+             text, '[ \t\r\n\f\x0B]+', ' ', 'g'))), ' '),
+             x -> x <> '') AS words
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 13
+              THEN list_distinct(list_transform(
+                   range(1, len(words) - 11),
+                   i -> array_to_string(words[i:i+12], ' ')))
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 50 = 0
+), grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM grams JOIN bench USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS is_contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
 
 
 # paragraph_dedup: full string-domain restatement of the CCNet-style
@@ -1228,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "dedup_cardinality": _DEDUP_CARDINALITY_SQL,
         "media_features": _MEDIA_FEATURES_SQL,
