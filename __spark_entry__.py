@@ -644,6 +644,89 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def _messy_urls(spark, sf_dir):
+    # deterministic "messy" crawl URLs: mixed-case scheme/host, default
+    # ports, fragments — canonicalization must collapse all of it.
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    scheme = F.when(F.col("doc_id") % 2 == 0, "HTTPS://").otherwise("https://")
+    host = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.upper("source"), F.lit(".EXAMPLE"))
+    ).otherwise(F.concat(F.col("source"), F.lit(".example")))
+    port = F.when(F.col("doc_id") % 4 == 0, ":443").otherwise("")
+    path = F.concat(
+        F.lit("/p/"), (F.col("doc_id") % 97).cast("string"),
+        F.lit("/doc"), F.col("doc_id").cast("string"),
+    )
+    frag = F.when(F.col("doc_id") % 3 == 0, "#sec2").otherwise("")
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, host, port, path, frag).alias("url"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id")).alias("warc_ts"),
+        "text",
+    )
+
+
+_MESSY_URL_SQL = """
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 5 = 0 THEN upper(source) || '.EXAMPLE'
+                  ELSE source || '.example' END)
+         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+         || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+         || '/doc' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 3 = 0 THEN '#sec2' ELSE '' END) AS url,
+         to_timestamp(1600000000 + doc_id) AS warc_ts,
+         text
+  FROM documents
+"""
+
+
+def q_url_canonical(spark, sf_dir):
+    # URL canonicalization (strip fragment, lowercase scheme+host, drop
+    # scheme-default port, empty path -> '/') + domain extraction.
+    # Oracle rebuilds the canonical form structurally in DuckDB.
+    import linguistjs_spark.operators.url_ops as U
+
+    return _messy_urls(spark, sf_dir).select(
+        "doc_id",
+        U.canonical_url_col(F.col("url")).alias("url_canon"),
+        U.domain_col(F.col("url")).alias("domain"),
+    )
+
+
+def q_url_dedup(spark, sf_dir):
+    # Recrawl dedup: every 6th doc is re-crawled a day later under a
+    # differently-messy URL with identical canonical form; the winner must
+    # be the later crawl (max warc_ts, ties by url string).
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    recrawl = pages.filter(F.col("doc_id") % 6 == 0).select(
+        "doc_id",
+        F.concat(F.lower("url"), F.lit("#recrawl")).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        "text",
+    )
+    out = U.url_dedup(pages.unionByName(recrawl).drop("doc_id"))
+    return out.select(
+        "url_canon",
+        "n_crawls",
+        F.unix_timestamp("warc_ts").alias("win_ts"),
+        F.col("url").alias("win_url"),
+    )
+
+
+def q_domain_rollup(spark, sf_dir):
+    # Per-domain corpus stats over canonicalized URLs (Zipf-skew note in
+    # url_ops.domain_rollup). exact_urls=True because the oracle compares
+    # an exact distinct count; the default sketch mode is the scale path.
+    import linguistjs_spark.operators.url_ops as U
+
+    return U.domain_rollup(_messy_urls(spark, sf_dir), exact_urls=True).select(
+        "domain", "n_docs", "total_bytes", "n_urls"
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -688,6 +771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "paragraph_dedup": q_paragraph_dedup,
         "decontaminate": q_decontaminate,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
+        "domain_rollup": q_domain_rollup,
     }
 
 
@@ -834,6 +920,88 @@ def _html_extract_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) ext_len, "
         "CAST(NULL AS VARCHAR) ext_md5 WHERE FALSE",
     )
+
+
+# url_canonical: INDEPENDENT rebuild — the oracle does not re-run the
+# canonicalizer on the messy url; it reconstructs the expected canonical
+# form directly from (doc_id, source), so it proves canonicalization
+# actually inverts every planted messiness (case, default port, fragment).
+_URL_CANONICAL_SQL = """
+SELECT doc_id,
+       'https://' || lower(source) || '.example'
+       || '/p/' || CAST(doc_id % 97 AS VARCHAR)
+       || '/doc' || CAST(doc_id AS VARCHAR) AS url_canon,
+       lower(source) || '.example' AS domain
+FROM documents
+"""
+
+# shared structural canonicalizer for the dedup/rollup oracles (mirrors
+# url_ops.canonical_url_col / domain_col; conservative RE2-safe regexes).
+_CANON_EXPR = """
+  CASE WHEN regexp_extract(regexp_replace(url, '#.*$', ''),
+            '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+       THEN regexp_replace(url, '#.*$', '')
+       ELSE lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+            || (CASE
+                WHEN lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                THEN regexp_replace(lower(regexp_extract(
+                     regexp_replace(url, '#.*$', ''),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+                WHEN lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+                THEN regexp_replace(lower(regexp_extract(
+                     regexp_replace(url, '#.*$', ''),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+                ELSE lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                END)
+            || (CASE WHEN regexp_replace(regexp_replace(url, '#.*$', ''),
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') = ''
+                     THEN '/'
+                     ELSE regexp_replace(regexp_replace(url, '#.*$', ''),
+                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') END)
+  END
+"""
+
+_URL_DEDUP_SQL = f"""
+WITH m AS ({_MESSY_URL_SQL}),
+allc AS (
+  SELECT url, warc_ts, text FROM m
+  UNION ALL
+  SELECT lower(url) || '#recrawl' AS url,
+         warc_ts + INTERVAL 1 DAY AS warc_ts, text
+  FROM m WHERE doc_id % 6 = 0
+), canon AS (
+  SELECT *, {_CANON_EXPR} AS url_canon FROM allc
+), ranked AS (
+  SELECT url_canon, url, warc_ts,
+         row_number() OVER (PARTITION BY url_canon
+                            ORDER BY warc_ts DESC, url DESC) AS rk,
+         count(*) OVER (PARTITION BY url_canon) AS n_crawls
+  FROM canon
+)
+SELECT url_canon, CAST(n_crawls AS BIGINT) AS n_crawls,
+       CAST(epoch(warc_ts) AS BIGINT) AS win_ts, url AS win_url
+FROM ranked WHERE rk = 1
+"""
+
+_DOMAIN_ROLLUP_SQL = f"""
+WITH m AS ({_MESSY_URL_SQL}),
+canon AS (
+  SELECT regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')
+           AS domain,
+         octet_length(CAST(text AS BLOB)) AS bytes,
+         {_CANON_EXPR} AS url_canon
+  FROM m
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT url_canon) AS BIGINT) AS n_urls
+FROM canon GROUP BY domain
+"""
 
 
 # decontaminate: string-domain restatement of the 13-gram probe (same
@@ -1276,6 +1444,9 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
+        "url_canonical": _URL_CANONICAL_SQL,
+        "url_dedup": _URL_DEDUP_SQL,
+        "domain_rollup": _DOMAIN_ROLLUP_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "dedup_cardinality": _DEDUP_CARDINALITY_SQL,
         "media_features": _MEDIA_FEATURES_SQL,

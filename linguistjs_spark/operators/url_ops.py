@@ -1,0 +1,117 @@
+"""URL operators for web corpora: canonicalization, domain extraction,
+canonical-URL dedup, per-domain rollups.
+
+The reference's path handling (vendored/generated glob filters, common-root
+relativisation — /root/reference/src/index.ts:149-193, src/helpers/
+walk-tree.ts) works on file paths; for Common-Crawl-style input the path
+dimension is the URL, and these are the URL-domain analogues (SURVEY.md
+recasts O5/common-root as domain grouping).
+
+Everything here is a narrow projection of conservative regexes (no
+lookaround, no backrefs — the same subset RE2/DuckDB supports, so oracles
+restate them verbatim) plus one aggregation where stated:
+
+  * ``canonical_url_col`` — strip fragment; lowercase scheme + host; drop
+    the scheme-default port (http:80 / https:443); empty path -> '/'.
+    Query params are preserved (dropping them merges distinct resources).
+  * ``domain_col`` — lowercased host without port.
+  * ``url_dedup`` — one representative per canonical URL (latest
+    ``warc_ts`` wins, ties broken by smallest url string): a single
+    groupBy(max_by) on the canonical-url hash — recrawl dedup.
+  * ``domain_rollup`` — docs/bytes per domain: one map-side-combined
+    groupBy; at 10^12 docs domains are Zipf-skewed, so the rollup groups on
+    (domain) only after the per-partition partial agg has already collapsed
+    each partition's hot domains to one row each (standard partial-agg
+    skew shield; no salting needed for a count/sum rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEME_PAT = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_TAIL_PAT = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def domain_col(url: Column) -> Column:
+    """Lowercased host with any ``:port`` suffix removed; '' for
+    non-URL-shaped strings (no scheme)."""
+    host = F.lower(F.regexp_extract(url, _HOST_PAT, 1))
+    return F.regexp_replace(host, r":[0-9]*$", "")
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Deterministic canonical form (see module docstring). Strings without
+    a ``scheme://`` prefix are returned unchanged (minus fragment)."""
+    nofrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, _SCHEME_PAT, 1))
+    host = F.lower(F.regexp_extract(nofrag, _HOST_PAT, 1))
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+        .otherwise(host)
+    tail = F.regexp_replace(nofrag, _TAIL_PAT, "")
+    tail = F.when(tail == "", F.lit("/")).otherwise(tail)
+    return F.when(scheme == "", nofrag).otherwise(
+        F.concat(scheme, F.lit("://"), host, tail)
+    )
+
+
+def url_dedup(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """One row per canonical URL: the latest crawl wins (``max_by`` on
+    (warc_ts, url) — ties broken deterministically by url string).
+
+    Single shuffle keyed on xxhash64(canonical url) — the full canonical
+    string never rides the shuffle as a key, only inside the max_by payload
+    struct."""
+    canon = canonical_url_col(F.col(url_col))
+    key = F.xxhash64(canon)
+    return (
+        pages.withColumn("_ck", key)
+        .withColumn("url_canon", canon)
+        .groupBy("_ck")
+        .agg(
+            F.max_by(
+                F.struct("url_canon", *pages.columns),
+                F.struct(F.col(ts_col), F.col(url_col)),
+            ).alias("winner"),
+            F.count("*").alias("n_crawls"),
+        )
+        .select("winner.*", "n_crawls")
+    )
+
+
+def domain_rollup(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    exact_urls: bool = False,
+) -> DataFrame:
+    """docs / bytes / distinct-canonical-urls per domain.
+
+    Default ``exact_urls=False`` uses an HLL++ sketch for n_urls — the whole
+    rollup is then ONE exchange with map-side partial aggregation (the
+    fixed-size sketch merges per-partition, which is what shields the Zipf
+    domain skew). ``exact_urls=True`` switches to an exact count_distinct —
+    correct-by-construction for oracle checks, but it costs a second
+    exchange on (domain, url-hash); don't use it at 10^12 rows."""
+    agg_urls = (
+        F.count_distinct("_ck") if exact_urls
+        else F.approx_count_distinct("_ck", rsd=0.01)
+    )
+    return (
+        pages.select(
+            domain_col(F.col(url_col)).alias("domain"),
+            F.octet_length(F.col(text_col)).alias("bytes"),
+            F.xxhash64(canonical_url_col(F.col(url_col))).alias("_ck"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bytes").alias("total_bytes"),
+            agg_urls.alias("n_urls"),
+        )
+    )

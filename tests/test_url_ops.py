@@ -1,0 +1,95 @@
+"""URL canonicalization / domain extraction / recrawl dedup semantics."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from linguistjs_spark.operators.url_ops import (
+    canonical_url_col,
+    domain_col,
+    domain_rollup,
+    url_dedup,
+)
+
+CASES = [
+    # (input, canonical, domain)
+    ("HTTPS://WWW.Example.COM/Path#frag", "https://www.example.com/Path",
+     "www.example.com"),                      # path case preserved, host lowered
+    ("http://a.example:80/x", "http://a.example/x", "a.example"),
+    ("https://a.example:443/x", "https://a.example/x", "a.example"),
+    ("https://a.example:80/x", "https://a.example:80/x", "a.example"),  # 80 not default for https
+    ("http://a.example:8080/x", "http://a.example:8080/x", "a.example"),
+    ("https://a.example", "https://a.example/", "a.example"),           # empty path -> '/'
+    ("https://a.example/?q=1&r=2", "https://a.example/?q=1&r=2", "a.example"),  # query preserved
+    ("ftp://Host.Example/File", "ftp://host.example/File", "host.example"),
+    ("not a url #frag", "not a url ", ""),     # schemeless: only fragment stripped
+    ("https://a.example/x#one#two", "https://a.example/x", "a.example"),
+]
+
+
+def test_canonicalization_cases(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(CASES)],
+                               "i long, url string")
+    rows = {r.i: (r.c, r.d) for r in df.select(
+        "i",
+        canonical_url_col(F.col("url")).alias("c"),
+        domain_col(F.col("url")).alias("d"),
+    ).collect()}
+    for i, (u, want_c, want_d) in enumerate(CASES):
+        assert rows[i] == (want_c, want_d), (u, rows[i])
+
+
+def test_url_dedup_latest_crawl_wins(spark):
+    t0 = datetime.datetime(2026, 1, 1)
+    t1 = datetime.datetime(2026, 1, 2)
+    pages = spark.createDataFrame(
+        [
+            ("HTTPS://A.example/x#v1", t0, "old"),
+            ("https://a.example/x", t1, "new"),
+            ("https://b.example/y", t0, "only"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    got = {r.url_canon: r for r in url_dedup(pages).collect()}
+    assert set(got) == {"https://a.example/x", "https://b.example/y"}
+    a = got["https://a.example/x"]
+    assert (a.n_crawls, a.text, a.url) == (2, "new", "https://a.example/x")
+    assert got["https://b.example/y"].n_crawls == 1
+
+
+def test_url_dedup_tie_breaks_on_url_string(spark):
+    t = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [("https://a.example/x#a", t, "pa"), ("https://a.example/x#b", t, "pb")],
+        "url string, warc_ts timestamp, text string",
+    )
+    rows = url_dedup(pages).collect()
+    assert len(rows) == 1
+    # same timestamp: lexicographically larger raw url wins, deterministically
+    assert rows[0].url == "https://a.example/x#b"
+
+
+def test_domain_rollup_counts_and_single_shuffle(spark):
+    t = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/1", t, "xx"),
+            ("HTTPS://A.EXAMPLE/1#f", t, "yyy"),   # same canonical as row 1
+            ("https://a.example/2", t, "z"),
+            ("https://b.example/1", t, "wwww"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    exact = domain_rollup(pages, exact_urls=True)
+    got = {r.domain: (r.n_docs, r.total_bytes, r.n_urls) for r in exact.collect()}
+    assert got["a.example"] == (3, 6, 2)
+    assert got["b.example"] == (1, 4, 1)
+    # default (sketch) mode: same answer here, and only ONE exchange in the
+    # final plan — the HLL++ partial agg merges map-side (Zipf skew shield)
+    approx = domain_rollup(pages)
+    got_a = {r.domain: r.n_urls for r in approx.collect()}
+    assert got_a == {"a.example": 2, "b.example": 1}
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert "HashAggregate" in final
