@@ -46,6 +46,12 @@ class QualityFilterConfig:
     gate_udf_text: bool = True
 
     # ---- graft additions (BASELINE.json north_star) ----
+    # Derive `text` from `html` (operators/extract.py native chain) when the
+    # pages table carries raw HTML without pre-extracted text. Only rows
+    # with NULL text are extracted (a provided text column always wins, per
+    # the byte-identical-extracted-text-per-url invariant); rows whose html
+    # sniffs binary are never fed to the extractor.
+    extract_html: bool = False
     # Gopher/C4-style quality keep/drop rules over web text. The reference has
     # no quality rules, so parity tests run with this off.
     quality_rules: bool = True

@@ -78,6 +78,24 @@ def run_pipeline(
 
     df = with_filter_flags(pages, md, cfg, overrides, user_ignore_globs)
 
+    # Optional HTML->text extraction for pages without pre-extracted text
+    # (still the same single pass: one more native expression, no branch).
+    # The binary sniff guard reuses the exact expression _is_bin is built
+    # from below — codegen shares it within the projection.
+    if cfg.extract_html:
+        from .operators.extract import extract_text_col
+
+        raw_bin = F.col("html").isNotNull() & F.contains(
+            F.substring(F.col("html"), 1, 1024), F.lit(b"\x00")
+        )
+        df = df.withColumn(
+            "text",
+            F.coalesce(
+                F.col("text"),
+                F.when(~raw_bin, extract_text_col(F.col("html"))),
+            ),
+        )
+
     # Row-liveness flags (all native, evaluated once per row):
     #   _eligible: survives path filters and has readable text
     #   _is_bin:   NUL byte in the first KiB of html (F3 content sniff input)

@@ -101,3 +101,51 @@ def test_html_extract_query_matches_twin_md5(spark):
         assert got[r.doc_id] == (
             len(e), hashlib.md5(e.encode("utf-8")).hexdigest()
         ), r.doc_id
+
+
+def test_pipeline_extract_html_stage(spark):
+    """extract_html=True derives text from html for NULL-text rows only;
+    result labels are identical to pre-extracting with the python twin."""
+    import datetime
+
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.pipeline import run_pipeline
+
+    t = datetime.datetime(2026, 1, 1)
+    html_doc = synth_html(
+        1, "the quick brown fox jumps over the lazy dog and runs away.\n"
+           "it keeps running through the quiet green field all afternoon.")
+    rows = [
+        # html-only row: text must come from extraction
+        ("https://a.example/page1.html", t, bytearray(html_doc.encode()), None),
+        # provided text wins over html
+        ("https://a.example/page2.html", t, bytearray(b"<p>ignored</p>"),
+         "provided text stays exactly as given for this document row."),
+        # binary html: never extracted, still binary-dropped
+        ("https://a.example/blob", t, bytearray(b"PK\x03\x04\x00\x00junk"), None),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string"
+    )
+    cfg = QualityFilterConfig(extract_html=True)
+    got = {r.url: r for r in run_pipeline(spark, pages, cfg).collect()}
+
+    # equivalence: same pipeline with twin-extracted text provided up front
+    pre_rows = [(rows[0][0], t, rows[0][2], extract_text(html_doc)),
+                rows[1], rows[2]]
+    pre = spark.createDataFrame(
+        pre_rows, "url string, warc_ts timestamp, html binary, text string"
+    )
+    want = {r.url: r for r in
+            run_pipeline(spark, pre, QualityFilterConfig()).collect()}
+
+    assert set(got) == set(want)
+    for url in got:
+        g, w = got[url], want[url]
+        assert (g.keep, g.keep_reason, g.lang, g.scrubbed_text) == \
+               (w.keep, w.keep_reason, w.lang, w.scrubbed_text), url
+    # binary html is never extracted; with no text the row is 'unreadable'
+    # in BOTH variants (the F3 content sniff only reclassifies rows that
+    # have text) — equivalence, not a new 'binary' label
+    assert got["https://a.example/blob"].keep_reason == "unreadable"
+    assert got["https://a.example/page1.html"].keep is True
