@@ -727,6 +727,22 @@ def q_domain_rollup(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    # Deterministic key-hash training-mix sampling: per-lang fractions,
+    # stable under retries/repartitioning (unlike df.sample). The oracle is
+    # the python xxhash64 twin re-deciding every row (VALUES); pytest
+    # additionally pins determinism and the nested-sample property.
+    from linguistjs_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        docs, _SAMPLE_FRACTIONS, strata_col="lang", key_col="doc_id", seed=7
+    ).select("doc_id", "lang")
+
+
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -774,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "domain_rollup": q_domain_rollup,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -887,6 +904,34 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(v AS BIGINT) AS vec_id, CAST(s AS DOUBLE) AS score_r "
         "FROM (VALUES {values}) t(v, s)",
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
+        "WHERE FALSE",
+    )
+
+
+def _stratified_sample_oracle_sql() -> str:
+    # The xxhash64 twin re-runs the per-row sampling decision in python.
+    import duckdb
+
+    from linguistjs_spark.hash_twin import spark_xxhash64
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, lang FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    fr = _SAMPLE_FRACTIONS
+    vals = [
+        (doc_id, lang)
+        for doc_id, lang in rows
+        if spark_xxhash64(int(doc_id), 7) % 1_000_000
+        < int(fr.get(lang, 0.0) * 1_000_000)
+    ]
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, l AS lang "
+        "FROM (VALUES {values}) t(d, l)",
+        "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS VARCHAR) lang "
         "WHERE FALSE",
     )
 
@@ -1442,6 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
+        "stratified_sample": _stratified_sample_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "url_canonical": _URL_CANONICAL_SQL,

@@ -246,6 +246,26 @@ def main() -> None:
         t, _ = timed(lambda: SIM.brute_force_topk(emb, qvec, k=10).collect())
         queries["ann_bruteforce"] = round(t, 3)
 
+        # new round-2 ops: html extraction (pure codegen projection) and
+        # corpus-wide paragraph dedup (window + reassembly shuffles)
+        from linguistjs_spark.operators.extract import (
+            extract_text_col, synth_html_col)
+
+        t, _ = timed(
+            lambda: docs.select(
+                extract_text_col(
+                    synth_html_col(F.col("doc_id"), F.col("text"))
+                ).alias("e")
+            ).agg(F.sum(F.length("e"))).collect()
+        )
+        queries["html_extract"] = round(t, 3)
+
+        t, _ = timed(
+            lambda: DD.paragraph_dedup(docs)
+            .agg(F.sum("n_paras"), F.sum("n_kept")).collect()
+        )
+        queries["paragraph_dedup"] = round(t, 3)
+
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to
