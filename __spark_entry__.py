@@ -743,6 +743,18 @@ def q_stratified_sample(spark, sf_dir):
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
 
 
+def q_repetition_scores(spark, sf_dir):
+    # Gopher top-2-gram repetition signal, doc-level. Pure double
+    # arithmetic (count * len / len) — bit-identical across engines, so no
+    # rounding is applied. Ties pinned to the lexicographically smallest
+    # bigram on both sides.
+    from linguistjs_spark.operators.quality import top_bigram_ratio_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", top_bigram_ratio_col(F.col("text")).alias("top_bigram_ratio")
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -791,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_rollup": q_domain_rollup,
         "stratified_sample": q_stratified_sample,
+        "repetition_scores": q_repetition_scores,
     }
 
 
@@ -1079,6 +1092,38 @@ SELECT d.doc_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# repetition_scores: word-domain restatement; the tie-break (smallest
+# bigram at max count) matches the Spark fold's strictly-greater update
+# over the ascending-sorted bigram array.
+_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\r\n\f\x0B]+'),
+             x -> x <> '') AS words,
+         length(text) AS n_chars
+  FROM documents
+), b AS (
+  SELECT doc_id, n_chars,
+         unnest(list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i+1])) AS bg
+  FROM w WHERE len(words) >= 2
+), c AS (
+  SELECT doc_id, n_chars, bg, count(*) AS cnt
+  FROM b GROUP BY doc_id, n_chars, bg
+), top AS (
+  SELECT doc_id, n_chars, bg, cnt,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, bg ASC) AS rk
+  FROM c
+)
+SELECT d.doc_id,
+       coalesce(CAST(t.cnt * length(t.bg) AS DOUBLE) / nullif(d_len, 0), 0.0)
+         AS top_bigram_ratio
+FROM (SELECT doc_id, length(text) AS d_len FROM documents) d
+LEFT JOIN (SELECT * FROM top WHERE rk = 1) t USING (doc_id)
 """
 
 
@@ -1489,6 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "repetition_scores": _REPETITION_SQL,
         "decontaminate": _DECONTAMINATE_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "url_dedup": _URL_DEDUP_SQL,

@@ -61,6 +61,10 @@ class QualityFilterConfig:
     max_mean_word_len: float = 12.0
     max_symbol_ratio: float = 0.25
     max_dup_line_ratio: float = 0.6
+    # Gopher top-2-gram repetition rule (fraction of characters in the most
+    # frequent word bigram; Gopher drops at >0.18). None = rule off — the
+    # default keeps round-1 label semantics byte-stable.
+    max_top_bigram_ratio: float | None = None
     min_stopword_hits: int = 0
     # Perplexity gate (KenLM-style char-bigram model; higher = more gibberish).
     # compute_perplexity adds the one optional pandas-UDF scoring stage.

@@ -430,7 +430,22 @@ def quality_features(text: str) -> dict:
         "mean_word_len": mean_wl,
         "symbol_ratio": sym_ratio,
         "dup_line_ratio": dup_ratio,
+        "top_bigram_ratio": top_bigram_ratio(text),
     }
+
+
+def top_bigram_ratio(text: str) -> float:
+    """Twin of operators.quality.top_bigram_ratio_col (Gopher repetition
+    signal; ties broken by lexicographically smallest bigram)."""
+    words = [w for w in _WORD_SPLIT_RE.split(text) if w]
+    if len(words) < 2 or not text:
+        return 0.0
+    counts: dict[str, int] = {}
+    for i in range(len(words) - 1):
+        bg = words[i] + " " + words[i + 1]
+        counts[bg] = counts.get(bg, 0) + 1
+    best_bg = min(sorted(counts), key=lambda b: (-counts[b], b))
+    return counts[best_bg] * len(best_bg) / len(text)
 
 
 def quality_drop_reason(cfg: QualityFilterConfig, feats: dict) -> str | None:
@@ -444,6 +459,11 @@ def quality_drop_reason(cfg: QualityFilterConfig, feats: dict) -> str | None:
         return "quality-symbols"
     if feats["dup_line_ratio"] > cfg.max_dup_line_ratio:
         return "quality-dup-lines"
+    if (
+        cfg.max_top_bigram_ratio is not None
+        and feats.get("top_bigram_ratio", 0.0) > cfg.max_top_bigram_ratio
+    ):
+        return "quality-repetition"
     return None
 
 

@@ -267,7 +267,12 @@ def run_pipeline(
     else:
         df = df.withColumn("ppl", F.lit(None).cast("double"))
 
-    qreason = quality_drop_reason_col(F.col("quality"), cfg)
+    top_bigram = None
+    if cfg.max_top_bigram_ratio is not None:
+        from .operators.quality import top_bigram_ratio_col
+
+        top_bigram = F.when(alive, top_bigram_ratio_col(text))
+    qreason = quality_drop_reason_col(F.col("quality"), cfg, top_bigram)
     if cfg.compute_perplexity:
         qreason = F.coalesce(
             qreason,

@@ -1,0 +1,67 @@
+"""Gopher top-bigram repetition signal: twin parity, tie determinism,
+pipeline rule wiring (default off)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from linguistjs_spark.operators.quality import top_bigram_ratio_col
+from linguistjs_spark.oracle import top_bigram_ratio
+
+CASES = [
+    "",
+    "one",
+    "spam spam spam spam spam",
+    "a b a b a b a b",
+    "x y x z x y x z q",            # tie between 'x y' and 'x z' -> 'x y' wins
+    "normal prose with no repeated bigram anywhere at all today",
+    "  padded   with \t whitespace  runs  padded   with  ",
+    "unicode é bigram é bigram é",
+]
+
+
+def test_twin_parity_cases_and_fuzz(spark):
+    rng = random.Random(3)
+    vocab = ["buy", "now", "click", "here", "free", "offer", "é"]
+    cases = CASES + [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)],
+                               "i long, t string")
+    got = {r.i: r.s for r in df.select(
+        "i", top_bigram_ratio_col(F.col("t")).alias("s")).collect()}
+    for i, c in enumerate(cases):
+        assert abs(got[i] - top_bigram_ratio(c)) < 1e-12, (i, repr(c))
+
+
+def test_signal_values():
+    # "spam spam spam spam spam": 4x "spam spam" (9 chars) over 24 chars
+    assert abs(top_bigram_ratio("spam spam spam spam spam") - 36 / 24) < 1e-12
+    assert top_bigram_ratio("one") == 0.0
+    assert top_bigram_ratio("") == 0.0
+
+
+def test_pipeline_rule_wiring(spark):
+    import datetime
+
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.pipeline import run_pipeline
+
+    t = datetime.datetime(2026, 1, 1)
+    spammy = ("buy now " * 40).strip()
+    clean = ("the quick brown fox jumps over the lazy dog and then walks "
+             "slowly back home through the quiet evening field")
+    pages = spark.createDataFrame(
+        [("https://a.example/spam.html", t, None, spammy),
+         ("https://a.example/clean.html", t, None, clean)],
+        "url string, warc_ts timestamp, html binary, text string",
+    )
+    # default: rule off, spammy doc passes dup-line checks (one line)
+    base = {r.url: r for r in run_pipeline(spark, pages).collect()}
+    assert base["https://a.example/spam.html"].keep is True
+    # enabled at the Gopher threshold: spammy dropped, clean kept
+    cfg = QualityFilterConfig(max_top_bigram_ratio=0.18)
+    got = {r.url: r for r in run_pipeline(spark, pages, cfg).collect()}
+    assert got["https://a.example/spam.html"].keep_reason == "quality-repetition"
+    assert got["https://a.example/clean.html"].keep is True
