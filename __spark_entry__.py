@@ -755,6 +755,21 @@ def q_repetition_scores(spark, sf_dir):
     )
 
 
+def q_blocked_domains(spark, sf_dir):
+    # UT1-style domain blocklist filter (subdomain-suffix matching is
+    # exercised in tests/test_url_ops.py; fixture hosts have two labels so
+    # the oracle reduces to NOT IN over the rebuilt domain).
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    bl = spark.createDataFrame(
+        [("src1.example",), ("src13.example",)], "domain string"
+    )
+    return U.filter_blocked_domains(pages, bl).select(
+        "doc_id", U.domain_col(F.col("url")).alias("domain")
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -804,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "stratified_sample": q_stratified_sample,
         "repetition_scores": q_repetition_scores,
+        "blocked_domains": q_blocked_domains,
     }
 
 
@@ -1535,6 +1551,12 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,
+        "blocked_domains": (
+            "SELECT doc_id, lower(source) || '.example' AS domain "
+            "FROM documents "
+            "WHERE lower(source) || '.example' "
+            "NOT IN ('src1.example', 'src13.example')"
+        ),
         "decontaminate": _DECONTAMINATE_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "url_dedup": _URL_DEDUP_SQL,

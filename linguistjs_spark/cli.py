@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--child-languages", action="store_true")
     ap.add_argument("--keep-vendored", action="store_true")
     ap.add_argument("--keep-binary", action="store_true")
+    ap.add_argument("--extract-html", action="store_true",
+                    help="derive text from the html column for NULL-text rows")
     ap.add_argument("--list-files", action="store_true",
                     help="list analysed files under each language "
                     "(src/cli.ts:113-151 presentation)")
@@ -71,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         child_languages=args.child_languages,
         keep_vendored=args.keep_vendored,
         keep_binary=args.keep_binary,
+        extract_html=args.extract_html,
     )
     if args.categories:
         cfg_kwargs["categories"] = tuple(args.categories.split(","))

@@ -115,3 +115,50 @@ def domain_rollup(
             agg_urls.alias("n_urls"),
         )
     )
+
+
+def domain_suffixes_col(url: Column) -> Column:
+    """All registrable suffixes of a URL's host, most-specific first:
+    'a.b.example.com' -> ['a.b.example.com', 'b.example.com',
+    'example.com', 'com']. Native array algebra, bounded by label count."""
+    host = domain_col(url)
+    labels = F.split(host, r"\.")
+
+    def build(ls: Column) -> Column:
+        n = F.size(ls)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.array_join(F.slice(ls, i, n), "."),
+        )
+
+    from .dedup import _let
+
+    return F.when(host != "", _let(labels, build)) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def filter_blocked_domains(
+    pages: DataFrame, blocklist: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop pages whose host is a blocked domain OR any subdomain of one
+    (the UT1-style adult/spam blocklist filter of Common-Crawl pipelines:
+    blocking 'bad.example' also blocks 'cdn.bad.example').
+
+    ``blocklist`` is one column ``domain`` (lowercased, no port). Scale
+    shape (same stance as operators/decontam.py): the blocklist is
+    ~10^5-10^6 rows — broadcast against the exploded suffix array (bounded
+    fan-out, one row per host label, broadcast semi-join = no corpus
+    shuffle); the resulting blocked-url set is broadcast back for the
+    left_anti flagging, under the assumption that blocked pages are a
+    small corpus fraction — if a crawl were majority-blocked, AQE degrades
+    that join to sort-merge with unchanged semantics."""
+    keyed = pages.withColumn("_sfx", domain_suffixes_col(F.col(url_col)))
+    hits = (
+        keyed.select(F.col(url_col), F.explode("_sfx").alias("domain"))
+        .join(F.broadcast(blocklist.select("domain")), "domain", "left_semi")
+        .select(url_col)
+        .distinct()
+    )
+    return (
+        keyed.join(F.broadcast(hits), url_col, "left_anti").drop("_sfx")
+    )

@@ -93,3 +93,37 @@ def test_domain_rollup_counts_and_single_shuffle(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
     assert "HashAggregate" in final
+
+
+def test_domain_suffixes(spark):
+    from linguistjs_spark.operators.url_ops import domain_suffixes_col
+
+    df = spark.createDataFrame(
+        [(1, "https://a.b.example.com:443/x"), (2, "no scheme")],
+        "i long, url string",
+    )
+    got = {r.i: r.s for r in
+           df.select("i", domain_suffixes_col(F.col("url")).alias("s")).collect()}
+    assert got[1] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[2] == []
+
+
+def test_blocklist_filters_subdomains(spark):
+    import datetime
+
+    from linguistjs_spark.operators.url_ops import filter_blocked_domains
+
+    t = datetime.datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://bad.example/x", t, "a"),
+            ("https://cdn.bad.example/y", t, "b"),     # subdomain -> blocked
+            ("https://notbad.example/z", t, "c"),      # NOT a subdomain
+            ("https://good.example/w", t, "d"),
+            ("https://BAD.EXAMPLE/upper", t, "e"),     # case-folded -> blocked
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    kept = sorted(r.url for r in filter_blocked_domains(pages, bl).collect())
+    assert kept == ["https://good.example/w", "https://notbad.example/z"]
