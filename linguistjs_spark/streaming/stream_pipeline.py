@@ -88,3 +88,54 @@ def stream_labels(
     )
     query.awaitTermination()
     return query
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "24 hours",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming exact dedup over an ongoing crawl: one representative per
+    content fingerprint, with state bounded by a watermark.
+
+    Uses ``dropDuplicatesWithinWatermark`` keyed on the xxhash64 content
+    fingerprint (the same fingerprint as dedup.exact_dedup, so batch and
+    streaming agree on what "identical" means). State design at 10^12-doc
+    scale: unbounded cross-crawl dedup state would grow forever, so the
+    stream only guarantees uniqueness among documents whose ``warc_ts``
+    fall within the watermark window of each other — recrawl storms and
+    mirror bursts (the streaming dedup use case) are caught with O(window)
+    state; full-corpus dedup remains the batch operator. Checkpointed:
+    a restart resumes both file progress and dedup state.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import normalized_text
+
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+
+    deduped = (
+        pages.withColumn("_fp", F.xxhash64(normalized_text(F.col("text"))))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+    query = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

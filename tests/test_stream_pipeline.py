@@ -56,3 +56,49 @@ def test_streamed_labels_match_batch_and_resume_incrementally(spark, dirs):
     n_before = got2.count()
     stream_labels(spark, dirs["in"], dirs["out"], dirs["ckpt"], CFG)
     assert spark.read.parquet(dirs["out"]).count() == n_before
+
+
+def test_stream_exact_dedup_across_drains(spark, tmp_path):
+    """Duplicates within the watermark window are dropped exactly once,
+    including across separate AvailableNow drains (state checkpointed)."""
+    import datetime
+
+    from linguistjs_spark.streaming.stream_pipeline import stream_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/{name}")
+
+    write_batch("b1", [
+        ("u1", t, None, "the first unique document text", ""),
+        ("u2", t, None, "the second unique document text", ""),
+        ("u3", t, None, "the first unique document text", ""),   # dup of u1
+    ])
+    stream_exact_dedup(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir).collect()
+    assert len(got1) == 2
+    assert {r.text for r in got1} == {
+        "the first unique document text", "the second unique document text"}
+
+    # second drain: a cross-drain duplicate and a fresh doc
+    write_batch("b2", [
+        ("u4", t + datetime.timedelta(minutes=5), None,
+         "the second unique document text", ""),                  # dup of u2
+        ("u5", t + datetime.timedelta(minutes=5), None,
+         "a brand new third document", ""),
+    ])
+    stream_exact_dedup(spark, in_dir, out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir).collect()
+    assert len(got2) == 3
+    texts = sorted(r.text for r in got2)
+    assert texts == [
+        "a brand new third document",
+        "the first unique document text",
+        "the second unique document text",
+    ]
