@@ -200,6 +200,22 @@ _WIDE_EXT_LANGS = [
     (".ttl", "Turtle"), (".twig", "Twig"), (".uc", "UnrealScript"),
     (".ur", "UrWeb"), (".vb", "Visual Basic .NET"), (".vbs", "VBScript"),
     (".vtl", "Velocity Template Language"), (".vtt", "WebVTT"),
+    # batch-2 widening (scripts/widen_snapshot2.py)
+    (".mojo", "Mojo"), (".astro", "Astro"), (".kdl", "KDL"),
+    (".rexx", "REXX"), (".moo", "Mercury"), (".pod", "Pod"),
+    (".red", "Red"), (".self", "Self"), (".boo", "Boo"), (".x10", "X10"),
+    (".rsh", "RenderScript"), (".ring", "Ring"), (".ik", "Ioke"),
+    (".opal", "Opal"), (".pogo", "PogoScript"), (".shen", "Shen"),
+    (".smali", "Smali"), (".tu", "Turing"), (".uno", "Uno"),
+    (".wisp", "wisp"), (".zimpl", "Zimpl"), (".lol", "LOLCODE"),
+    (".krl", "KRL"), (".glf", "Glyph"), (".flux", "FLUX"), (".dm", "DM"),
+    (".cirru", "Cirru"), (".aj", "AspectJ"), (".ampl", "AMPL"),
+    (".4dm", "4D"), (".move", "Move"), (".circom", "Circom"),
+    (".cdc", "Cadence"), (".wl", "Mathematica"),
+    (".gap", "GAP"), (".pd", "Pure Data"), (".orc", "Csound"),
+    (".csd", "Csound Document"), (".sco", "Csound Score"),
+    (".kicad_pcb", "KiCad Layout"),
+    (".lvproj", "LabVIEW"), (".ol", "Jolie"), (".cdf", "Mathematica"),
 ]
 
 
