@@ -786,6 +786,21 @@ def q_blocked_domains(spark, sf_dir):
     )
 
 
+def q_fitted_perplexity(spark, sf_dir):
+    # KenLM-workflow perplexity: fit the char-bigram LM on the corpus
+    # itself (one mapInPandas pass, sparse-count shuffle, 512 KiB driver
+    # table), then score every doc with the fitted table. The oracle twin
+    # refits in pure numpy over the same texts — identical integer counts
+    # give a bit-identical table, so scores are float-exact.
+    from linguistjs_spark.perplexity import (
+        fit_char_bigram_table, fitted_perplexity_udf)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    table = fit_char_bigram_table(docs)
+    score = fitted_perplexity_udf(table)
+    return docs.select("doc_id", score(F.col("text")).alias("ppl"))
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -836,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "repetition_scores": q_repetition_scores,
         "blocked_domains": q_blocked_domains,
+        "fitted_perplexity": q_fitted_perplexity,
     }
 
 
@@ -949,6 +965,31 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(v AS BIGINT) AS vec_id, CAST(s AS DOUBLE) AS score_r "
         "FROM (VALUES {values}) t(v, s)",
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
+        "WHERE FALSE",
+    )
+
+
+def _fitted_perplexity_oracle_sql() -> str:
+    # numpy twin refit + rescore (bit-identical table from identical
+    # integer counts).
+    import duckdb
+
+    from linguistjs_spark.perplexity import (
+        fit_char_bigram_table_local, perplexity_with_table)
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    table = fit_char_bigram_table_local(t for _, t in rows)
+    vals = [(d, perplexity_with_table(table, t)) for d, t in rows]
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, CAST(p AS DOUBLE) AS ppl "
+        "FROM (VALUES {values}) t(d, p)",
+        "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS DOUBLE) ppl "
         "WHERE FALSE",
     )
 
@@ -1565,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,
         "blocked_domains": (

@@ -45,3 +45,32 @@ def test_pipeline_perplexity_parity(spark):
         if exp.keep_reason == "quality-perplexity":
             n_drops += 1
     assert n_drops > 0  # the gate actually fired on some fixture rows
+
+
+def test_fitted_table_matches_local_twin(spark):
+    import numpy as np
+
+    from linguistjs_spark.perplexity import (
+        fit_char_bigram_table, fit_char_bigram_table_local)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs", None, "",
+             "zzzz qqqq xxxx jjjj vvvv"] * 20
+    df = spark.createDataFrame([(t,) for t in texts], "text string") \
+        .repartition(7)
+    dist = fit_char_bigram_table(df)
+    local = fit_char_bigram_table_local(texts)
+    assert np.array_equal(dist, local)  # bit-identical, not just close
+
+
+def test_fitted_model_separates_prose_from_gibberish(spark):
+    from linguistjs_spark.perplexity import (
+        fit_char_bigram_table, perplexity_with_table)
+
+    prose = ["the weather this evening is calm and the streets are quiet",
+             "she walked along the river reading the names of the boats"] * 50
+    df = spark.createDataFrame([(t,) for t in prose], "text string")
+    table = fit_char_bigram_table(df)
+    good = perplexity_with_table(table, "the streets along the river are quiet")
+    bad = perplexity_with_table(table, "xq zvk jjw qqp zzx mmv kkq wwz")
+    assert bad > good * 2
