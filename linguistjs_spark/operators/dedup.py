@@ -335,13 +335,16 @@ def paragraph_dedup(
       * posexplode + xxhash64 fingerprint is a narrow projection — the
         shuffle key is the 8-byte paragraph hash, never the paragraph text
         twice (the text rides the shuffle once, as the window payload).
-      * one shuffle for the first-occurrence window on ``hash``, one for the
-        reassembly groupBy on ``id`` — both AQE-coalesced.
+      * exactly ONE source scan, one shuffle for the first-occurrence
+        window on ``hash``, one for the reassembly groupBy on ``id`` —
+        both AQE-coalesced, and no join (plan-asserted in
+        tests/test_paragraph_dedup.py::test_plan_single_scan_no_join).
       * skew guard: paragraphs shorter than ``min_chars`` (empty lines,
-        separators, "---") are *always kept* and never enter the dedup
-        window. These are exactly the mega-hot hash keys (billions of empty
-        paragraphs hashing identically would funnel into one reducer), and
-        dropping structural one-liners corpus-wide is wrong anyway.
+        separators, "---") are *always kept* and window on a synthetic
+        per-row key instead of their content hash. Their content hashes
+        are exactly the mega-hot keys (billions of empty paragraphs
+        hashing identically would funnel into one reducer), and dropping
+        structural one-liners corpus-wide is wrong anyway.
       * collision posture: dedup equivalence is the 64-bit hash domain;
         expected false-merges ~ n_paras^2 / 2^64 (same stance as
         exact_dedup).
@@ -350,45 +353,50 @@ def paragraph_dedup(
 
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "para"),
     )
     dedupable = F.length("para") >= F.lit(min_chars)
-    # first-occurrence rank only among dedupable paragraphs; short ones get
-    # rank 1 unconditionally (partition key NULL would collapse them into
-    # one window partition, so gate the window INPUT instead).
+    # One unified frame, ONE source scan, two shuffles, zero joins:
+    #   * dedupable paragraphs window on their content hash (first
+    #     occurrence = rank 1);
+    #   * short paragraphs get a SYNTHETIC unique window key (id, pos
+    #     hash) — singleton windows, so they always rank 1 AND the
+    #     mega-hot content keys (empty lines, separators) never form a
+    #     skewed window partition;
+    #   * reassembly aggregates every row (conditional collect_list skips
+    #     dropped ones via null), so documents whose every paragraph was
+    #     deduped away still come back with empty text — no join against
+    #     the id universe needed.
+    ph = F.when(dedupable, F.xxhash64("para")).otherwise(
+        F.xxhash64(F.col(id_col), F.col("pos"), F.lit(-1))
+    )
     w = Window.partitionBy("ph").orderBy(F.col(id_col), F.col("pos"))
-    long_kept = (
-        paras.filter(dedupable)
-        .withColumn("ph", F.xxhash64("para"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("ph", "rk")
-    )
-    short_kept = paras.filter(~dedupable)
-    kept = long_kept.unionByName(short_kept)
-    n_in = docs.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"),
-    )
-    reassembled = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
-                lambda x: x["para"],
-            ),
-            "\n",
-        ).alias("text_dedup"),
-    )
-    # left join keeps documents whose every paragraph was dropped (their
-    # deduped text is empty, not absent); broadcast is wrong here (both
-    # sides are corpus-sized) — this is a plain co-partitioned equi-join.
-    return (
-        n_in.join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            "n_paras",
-            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    # posexplode_outer keeps NULL-text documents as a single NULL-para row
+    # (never kept, but the doc still appears in the output with n_kept=0)
+    flagged = (
+        paras.withColumn("ph", ph)
+        .withColumn(
+            "keep",
+            (F.row_number().over(w) == 1) & F.col("para").isNotNull(),
         )
+        .drop("ph")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.first("n_paras").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                "\n",
+            ),
+            F.lit(""),
+        ).alias("text_dedup"),
     )

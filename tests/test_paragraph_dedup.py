@@ -62,3 +62,26 @@ def test_min_chars_boundary(spark):
     got = _run(spark, rows, min_chars=8)
     assert got[1].text_dedup == "12345678\n1234567"
     assert got[2].text_dedup == "1234567"
+
+
+def test_null_text_doc_survives_with_zero_kept(spark):
+    df = spark.createDataFrame(
+        [(1, "real paragraph here"), (2, None)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[2].n_kept, got[2].text_dedup) == (0, "")
+
+
+def test_plan_single_scan_no_join(spark, tmp_path):
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"para number {i}\n--\nshared paragraph text") for i in range(50)],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(p)
+    out = paragraph_dedup(spark.read.parquet(p))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final                 # no id-universe join
+    assert final.count("Scan parquet") == 1    # one source scan

@@ -127,3 +127,24 @@ def test_blocklist_filters_subdomains(spark):
     bl = spark.createDataFrame([("bad.example",)], "domain string")
     kept = sorted(r.url for r in filter_blocked_domains(pages, bl).collect())
     assert kept == ["https://good.example/w", "https://notbad.example/z"]
+
+
+def test_canonicalization_idempotent(spark):
+    import random
+
+    from linguistjs_spark.operators.url_ops import canonical_url_col
+
+    rng = random.Random(17)
+    parts = ["https://", "HTTP://", "ftp://", "", "Host.EX", "a.b.c", ":443",
+             ":80", ":8080", "/p/x", "/", "?q=1", "#f", "#a#b", "..", "%20"]
+    urls = ["".join(rng.choice(parts) for _ in range(rng.randint(1, 6)))
+            for _ in range(300)]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    rows = df.select(
+        "i",
+        canonical_url_col(F.col("url")).alias("c1"),
+        canonical_url_col(canonical_url_col(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, (urls[r.i], r.c1, r.c2)
