@@ -801,6 +801,31 @@ def q_fitted_perplexity(spark, sf_dir):
     return docs.select("doc_id", score(F.col("text")).alias("ppl"))
 
 
+def q_c4_clean(spark, sf_dir):
+    # C4 line-level cleaning (keep lines with >=3 words ending in terminal
+    # punctuation), compared byte-exactly via md5 of the rewritten text.
+    # Fixture docs are single punctuation-free lines, so a realistic page
+    # is synthesized: nav fragments + the prose line with a period + a
+    # copyright footer + the raw line — only the punctuated multi-word
+    # lines must survive.
+    from linguistjs_spark.operators.quality import c4_line_filter_col
+
+    page = F.concat_ws(
+        "\n",
+        F.lit("Home"), F.lit("About Us"),
+        F.concat(F.col("text"), F.lit(".")),
+        F.lit("Read more"),
+        F.lit("Copyright 2026 Example Inc."),
+        F.col("text"),
+    )
+    cleaned = c4_line_filter_col(page)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(cleaned.cast("binary")).alias("clean_md5"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -852,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "blocked_domains": q_blocked_domains,
         "fitted_perplexity": q_fitted_perplexity,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -1165,6 +1191,28 @@ SELECT d.doc_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# c4_clean: line-domain restatement (same split/trim/word-count/terminal-
+# punct logic); md5 over the rewritten text = byte-identity compare.
+_C4_CLEAN_SQL = r"""
+WITH page AS (
+  SELECT doc_id,
+         'Home' || chr(10) || 'About Us' || chr(10) || text || '.'
+         || chr(10) || 'Read more' || chr(10)
+         || 'Copyright 2026 Example Inc.' || chr(10) || text AS p
+  FROM documents
+), cleaned AS (
+  SELECT doc_id,
+         coalesce(array_to_string(list_filter(string_split_regex(p, '\r?\n'),
+           l -> len(list_filter(string_split_regex(trim(l),
+                    '[ \t\r\n\f\x0B]+'), x -> x <> '')) >= 3
+                AND regexp_matches(trim(l), '[.!?"]$')), chr(10)), '') AS clean
+  FROM page
+)
+SELECT doc_id, md5(clean) AS clean_md5, length(clean) AS clean_len
+FROM cleaned
 """
 
 
@@ -1609,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,
+        "c4_clean": _C4_CLEAN_SQL,
         "blocked_domains": (
             "SELECT doc_id, lower(source) || '.example' AS domain "
             "FROM documents "

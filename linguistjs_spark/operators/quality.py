@@ -177,3 +177,33 @@ def top_bigram_ratio_col(text: Column) -> Column:
         ).otherwise(F.lit(0.0))
 
     return _let(words, build)
+
+
+def c4_line_filter_col(
+    text: Column, min_words: int = 3, require_terminal_punct: bool = True
+) -> Column:
+    """C4-style line-level cleaning as a native TRANSFORM (the doc-level
+    rules above drop whole documents; C4 also rewrites each kept document
+    by deleting boilerplate lines). A line survives iff it has at least
+    ``min_words`` whitespace words and (optionally) ends in terminal
+    punctuation (. ! ? ") — the C4 heuristics for menu items, buttons and
+    navigation fragments. Surviving lines are rejoined with '\\n' in
+    order. Narrow array algebra (split/filter/join), no UDF, no shuffle."""
+    from .dedup import _let
+
+    lines = F.split(text, LINE_SPLIT_PAT)
+
+    def build(ls: Column) -> Column:
+        def keep(l: Column) -> Column:
+            trimmed = F.trim(l)
+            n_words = F.size(
+                F.filter(F.split(trimmed, WORD_SPLIT_PAT), lambda x: x != F.lit(""))
+            )
+            ok = n_words >= F.lit(min_words)
+            if require_terminal_punct:
+                ok = ok & trimmed.rlike(r'[.!?"]$')
+            return ok
+
+        return F.array_join(F.filter(ls, keep), "\n")
+
+    return _let(lines, build)

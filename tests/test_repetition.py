@@ -65,3 +65,28 @@ def test_pipeline_rule_wiring(spark):
     got = {r.url: r for r in run_pipeline(spark, pages, cfg).collect()}
     assert got["https://a.example/spam.html"].keep_reason == "quality-repetition"
     assert got["https://a.example/clean.html"].keep is True
+
+
+def test_c4_line_filter(spark):
+    from linguistjs_spark.operators.quality import c4_line_filter_col
+
+    page = ("Home\nAbout Us\n"
+            "This is a real sentence with enough words.\n"
+            "Read more\n"
+            "  Trailing spaces still count here.   \n"
+            "short one.\n"                 # 2 words -> dropped
+            "no terminal punctuation on this line\n"
+            'He said "stop".\nQuoted end works too"\n')
+    df = spark.createDataFrame([(1, page)], "i long, t string")
+    got = df.select(c4_line_filter_col(F.col("t")).alias("c")).collect()[0].c
+    assert got == (
+        "This is a real sentence with enough words.\n"
+        "  Trailing spaces still count here.   \n"
+        'He said "stop".\nQuoted end works too"'
+    )
+    # punct requirement off: word count alone decides
+    got2 = df.select(
+        c4_line_filter_col(F.col("t"), require_terminal_punct=False).alias("c")
+    ).collect()[0].c
+    assert "no terminal punctuation on this line" in got2
+    assert "Read more" not in got2
