@@ -826,6 +826,15 @@ def q_c4_clean(spark, sf_dir):
     )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    # Pairs -> connected components -> cluster_id = min doc id reachable
+    # (the keep-one-per-cluster rule). Oracle recomputes the components
+    # with a recursive CTE over the string-domain pair list.
+    docs = _docs(spark, sf_dir)
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5)
+    return DD.near_dup_clusters(pairs).orderBy("doc_id")
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -878,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_domains": q_blocked_domains,
         "fitted_perplexity": q_fitted_perplexity,
         "c4_clean": q_c4_clean,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -1191,6 +1201,25 @@ SELECT d.doc_id,
        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
        coalesce(h.n_hits, 0) > 0 AS is_contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+# near_dup_clusters: connected components over the string-domain pair
+# list (same pairs as _MINHASH_PAIRS_SQL) via a recursive CTE — min
+# reachable id per node == the Spark label-propagation fixpoint.
+def _near_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT a, b FROM ({_MINHASH_PAIRS_SQL})
+), edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
 """
 
 
@@ -1658,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,
         "c4_clean": _C4_CLEAN_SQL,
+        "near_dup_clusters": _near_dup_clusters_sql(),
         "blocked_domains": (
             "SELECT doc_id, lower(source) || '.example' AS domain "
             "FROM documents "

@@ -400,3 +400,70 @@ def paragraph_dedup(
             F.lit(""),
         ).alias("text_dedup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> representative
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair list: every document in a
+    transitively-connected cluster gets the cluster's minimum doc id as
+    ``cluster_id`` (the canonical keep-one-per-cluster rule: keep the row
+    where ``doc_id == cluster_id``).
+
+    Algorithm: iterative min-label propagation. Each round every node
+    takes the min of its own label and its neighbors' labels; convergence
+    when a round changes nothing. Rounds needed = graph diameter in the
+    worst case (a chain); near-dup clusters are dense and shallow, so
+    2-4 rounds is typical. Per round: one join + one groupBy — the edge
+    list (symmetrized once) is the only state, labels are (node, label)
+    pairs. The driver loop materializes labels each round
+    (localCheckpoint) so the plan does not grow with iterations — the
+    standard Spark iterative-algorithm discipline; large-star/small-star
+    is the published acceleration if diameters ever get deep.
+
+    ``pairs`` needs columns (a, b). Returns (doc_id, cluster_id) for every
+    node that appears in at least one pair (singletons are their own
+    cluster by definition and need no row).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -85,3 +85,29 @@ def test_plan_single_scan_no_join(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "Join" not in final                 # no id-universe join
     assert final.count("Scan parquet") == 1    # one source scan
+
+
+def test_near_dup_clusters_chain_and_components(spark):
+    """Label propagation converges on a 5-hop chain (needs several rounds)
+    and keeps disjoint components separate."""
+    from linguistjs_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14 (worst case for propagation) + pair 20-21
+        [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21)],
+        "a long, b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
+
+
+def test_near_dup_clusters_converges_under_max_iter(spark):
+    from linguistjs_spark.operators.dedup import near_dup_clusters
+
+    # a long chain with max_iter too small must still return labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a long, b long"
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in near_dup_clusters(pairs, max_iter=50).collect()}
+    assert all(v == 0 for v in got.values()) and len(got) == 31
