@@ -149,3 +149,36 @@ def test_pipeline_extract_html_stage(spark):
     # have text) — equivalence, not a new 'binary' label
     assert got["https://a.example/blob"].keep_reason == "unreadable"
     assert got["https://a.example/page1.html"].keep is True
+
+
+def test_twin_parity_hypothesis(spark):
+    """Property-based byte-parity: arbitrary tag-soup text drawn by
+    hypothesis must extract identically in Spark and the python twin.
+    One Spark job for the whole drawn corpus (collect examples first)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    soup = st.text(
+        alphabet=st.sampled_from(
+            list("<>/ab c&;#!-\"'\n\t\r\x0b\x0c\x1c\x1d scriptlyedivph123"
+                 "&amp;&lt;nbsp;ſKé€\U0001F600")
+        ),
+        max_size=150,
+    )
+    drawn = []
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(soup)
+    def collect_examples(s):
+        drawn.append(s)
+
+    collect_examples()
+    cases = list(dict.fromkeys(drawn))  # dedupe, keep order
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, h string"
+    )
+    got = {r.i: r.e for r in
+           df.select("i", extract_text_col(F.col("h")).alias("e")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == extract_text(c), repr(c)
