@@ -62,3 +62,31 @@ def test_native_stages_match_oracle(spark, batch):
         assert q["n_words"] == exp["n_words"], t
         for k in ("mean_word_len", "symbol_ratio", "dup_line_ratio"):
             assert math.isclose(q[k], exp[k], rel_tol=0, abs_tol=1e-12), (t, k)
+
+
+def test_langid_batch2_languages(spark):
+    """The 8 round-2 stopword languages (pl/sv/tr/id/cs/ro/da/fi) resolve
+    identically in the native argmax column and the python oracle."""
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark import oracle as O
+    from linguistjs_spark.operators.scrub import nl_lang_col
+
+    cases = {
+        "pl": "to nie jest tak jak po przez ale dla od tylko",
+        "sv": "och att det som en av inte den till har om men",
+        "tr": "bir bu ve ile ama gibi daha sonra kadar olarak var",
+        "id": "yang dan di itu dengan untuk tidak ini dari dalam",
+        "cs": "je se na to ale jako za po pro tak co jsem",
+        "ro": "si de la cu un este nu ca mai pentru din sau",
+        "da": "og at det en den til er som af ikke der han",
+        "fi": "ja on ei se mutta kun niin joka tai jos vain nyt",
+    }
+    df = spark.createDataFrame(
+        [(k, t) for k, t in cases.items()], "want string, text string"
+    )
+    got = {r.want: r.nl for r in
+           df.select("want", nl_lang_col(F.col("text")).alias("nl")).collect()}
+    for want, text in cases.items():
+        assert got[want] == want, (want, got[want])
+        assert O.langid(text) == want
