@@ -573,6 +573,13 @@ def analyse_document(
     (F1 >= 0.99) and byte-identically on scrubbed_text."""
     cfg = (cfg or QualityFilterConfig()).effective_flags()
     md = md or load_metadata()
+    # extract_html stage twin (pipeline.py: provided text always wins;
+    # binary-sniffed html is never extracted)
+    if cfg.extract_html and text is None and html is not None \
+            and not is_binary_content(html):
+        from .operators.extract import extract_text
+
+        text = extract_text(html)
     overrides = overrides or []
     path = path_of_url(url)
 

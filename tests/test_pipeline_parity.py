@@ -170,3 +170,36 @@ def test_scrub_long_local_part_fully_redacted(spark):
         assert g == scrub_text(t), t
     assert got[0] == "contact <EMAIL> now"
     assert "junk" not in got[2]
+
+
+def test_parity_extract_html_config(spark):
+    """run_pipeline(extract_html=True) agrees row-for-row with the python
+    oracle (which mirrors the extraction stage) on mixed html/text pages."""
+    import datetime
+
+    from linguistjs_spark import oracle as O
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.operators.extract import synth_html
+    from linguistjs_spark.pipeline import run_pipeline
+
+    t = datetime.datetime(2026, 1, 1)
+    body = ("the quick brown fox jumps over the lazy dog tonight.\n"
+            "it runs across the quiet field until the sun comes up.")
+    rows = [
+        ("https://p.example/a.html", None, synth_html(1, body).encode()),
+        ("https://p.example/b.html", "plain provided text wins here always.",
+         b"<p>ignored</p>"),
+        ("https://p.example/c", None, b"PK\x00\x01binary"),
+        ("https://p.example/d.html", None, None),
+    ]
+    cfg = QualityFilterConfig(extract_html=True)
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(h) if h else None, x) for u, x, h in rows],
+        "url string, warc_ts timestamp, html binary, text string",
+    )
+    got = {r.url: r for r in run_pipeline(spark, pages, cfg).collect()}
+    for url, text, html in rows:
+        want = O.analyse_document(url, text, html=html, cfg=cfg)
+        g = got[url]
+        assert (g.keep, g.keep_reason, g.lang, g.scrubbed_text) == \
+               (want.keep, want.keep_reason, want.lang, want.scrubbed_text), url
