@@ -1288,7 +1288,7 @@ WITH base AS (
   SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
 ), paras AS (
   SELECT doc_id,
-         unnest(list_transform(string_split(text, chr(10)),
+         unnest(list_transform(string_split_regex(text, '\r?\n'),
                                (p, i) -> struct_pack(pos := i, para := p))) AS s
   FROM base
 ), flat AS (
@@ -1307,7 +1307,7 @@ WITH base AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id,
-       len(string_split(d.text, chr(10))) AS n_paras,
+       len(string_split_regex(d.text, '\r?\n')) AS n_paras,
        CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
        md5(coalesce(a.text_dedup, '')) AS dedup_md5
 FROM base d LEFT JOIN agg a USING (doc_id)

@@ -15,12 +15,12 @@ Scale shape (10^12 docs vs a benchmark of ~10^5-10^7 n-grams):
     probe: explode(doc n-grams) -> broadcast LEFT SEMI join.
   * hits are aggregated per doc (shuffle carries only (doc_id, ngram) pairs
     for *matching* rows — contamination is rare, so this shuffle is ~0) and
-    the resulting contaminated-id set is itself broadcast back onto the
-    corpus for the final flag column; the corpus DataFrame is never
-    repartitioned end-to-end.
-  * if contamination were pathologically widespread the hits frame exceeds
-    the broadcast threshold and AQE falls back to a sort-merge join —
-    semantics unchanged, only the plan degrades.
+    the resulting contaminated-id set joins back onto the corpus for the
+    final flag column UNHINTED: AQE broadcasts it while it is small (the
+    common case, leaving the corpus unshuffled end-to-end) and falls back
+    to a sort-merge join if contamination were ever pathologically
+    widespread — an explicit broadcast hint would instead abort the job,
+    since user hints are never demoted.
 """
 
 from __future__ import annotations
@@ -61,8 +61,12 @@ def contamination_flags(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+    # NO broadcast hint on `hits`: a user hint is never demoted by AQE, so
+    # hinting here would abort the job (broadcast limit / driver OOM) if
+    # contamination were ever widespread. Unhinted, AQE broadcasts it when
+    # it is small (the common case) and falls back to sort-merge otherwise.
     return (
-        docs.join(F.broadcast(hits), id_col, "left")
+        docs.join(hits, id_col, "left")
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
         .withColumn("is_contaminated", F.col("n_hits") > 0)
     )

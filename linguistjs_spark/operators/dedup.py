@@ -351,10 +351,16 @@ def paragraph_dedup(
     """
     from pyspark.sql.window import Window
 
+    # shared LINE_SPLIT_PAT (\r?\n) — CRLF and LF encodings of the same
+    # paragraph must fingerprint identically (reassembly normalizes to \n)
+    from ..oracle import LINE_SPLIT_PAT
+
     paras = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).alias("n_paras"),
-        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+        F.size(F.split(F.col(text_col), LINE_SPLIT_PAT)).alias("n_paras"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), LINE_SPLIT_PAT)
+        ).alias("pos", "para"),
     )
     dedupable = F.length("para") >= F.lit(min_chars)
     # One unified frame, ONE source scan, two shuffles, zero joins:
@@ -440,6 +446,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -465,5 +472,15 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would silently SPLIT
+        # components (keep-one-per-cluster would then keep several copies
+        # of one near-dup family) — fail loud instead
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use a "
+            "large-star/small-star variant for deep-chain graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -119,7 +119,14 @@ def quality_drop_reason_col(
         .when(q.symbol_ratio > cfg.max_symbol_ratio, F.lit("quality-symbols"))
         .when(q.dup_line_ratio > cfg.max_dup_line_ratio, F.lit("quality-dup-lines"))
     )
-    if cfg.max_top_bigram_ratio is not None and top_bigram is not None:
+    if cfg.max_top_bigram_ratio is not None:
+        if top_bigram is None:
+            # fail loud: silently skipping an enabled rule would diverge
+            # from oracle.quality_drop_reason (which always applies it)
+            raise ValueError(
+                "cfg.max_top_bigram_ratio is set but no top_bigram column "
+                "was supplied — pass top_bigram_ratio_col(text)"
+            )
         case = case.when(
             top_bigram > cfg.max_top_bigram_ratio, F.lit("quality-repetition")
         )

@@ -16,8 +16,9 @@ restate them verbatim) plus one aggregation where stated:
     Query params are preserved (dropping them merges distinct resources).
   * ``domain_col`` — lowercased host without port.
   * ``url_dedup`` — one representative per canonical URL (latest
-    ``warc_ts`` wins, ties broken by smallest url string): a single
-    groupBy(max_by) on the canonical-url hash — recrawl dedup.
+    ``warc_ts`` wins, ties broken by lexicographically LARGEST url
+    string — max_by on struct(ts, url)): a single groupBy(max_by) on the
+    canonical-url hash — recrawl dedup.
   * ``domain_rollup`` — docs/bytes per domain: one map-side-combined
     groupBy; at 10^12 docs domains are Zipf-skewed, so the rollup groups on
     (domain) only after the per-partition partial agg has already collapsed
@@ -62,7 +63,8 @@ def url_dedup(
     pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
 ) -> DataFrame:
     """One row per canonical URL: the latest crawl wins (``max_by`` on
-    (warc_ts, url) — ties broken deterministically by url string).
+    (warc_ts, url) — timestamp ties broken deterministically by the
+    lexicographically largest raw url string).
 
     Single shuffle keyed on xxhash64(canonical url) — the full canonical
     string never rides the shuffle as a key, only inside the max_by payload
@@ -148,10 +150,10 @@ def filter_blocked_domains(
     shape (same stance as operators/decontam.py): the blocklist is
     ~10^5-10^6 rows — broadcast against the exploded suffix array (bounded
     fan-out, one row per host label, broadcast semi-join = no corpus
-    shuffle); the resulting blocked-url set is broadcast back for the
-    left_anti flagging, under the assumption that blocked pages are a
-    small corpus fraction — if a crawl were majority-blocked, AQE degrades
-    that join to sort-merge with unchanged semantics."""
+    shuffle); the resulting blocked-url set joins back for the left_anti
+    flagging UNHINTED — AQE broadcasts it when small and degrades to
+    sort-merge at percent-level block rates (an explicit hint would abort
+    the job instead, since user hints are never demoted)."""
     keyed = pages.withColumn("_sfx", domain_suffixes_col(F.col(url_col)))
     hits = (
         keyed.select(F.col(url_col), F.explode("_sfx").alias("domain"))
@@ -159,6 +161,7 @@ def filter_blocked_domains(
         .select(url_col)
         .distinct()
     )
-    return (
-        keyed.join(F.broadcast(hits), url_col, "left_anti").drop("_sfx")
-    )
+    # no broadcast hint on `hits` (a hint is never demoted by AQE; real
+    # crawls can have percent-level block rates) — AQE broadcasts small
+    # hit sets itself and degrades to sort-merge when they are not
+    return keyed.join(hits, url_col, "left_anti").drop("_sfx")

@@ -36,12 +36,29 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, location: str) -> DataFrame:
+def _is_table_name(location: str) -> bool:
+    """Heuristic: dotted, path-separator-free identifiers are Iceberg
+    table names (``catalog.db.tbl``); anything with a path separator or
+    without a dot (a bare relative dir like ``pages``) is a parquet
+    location. Pass ``fmt`` explicitly to override the heuristic."""
+    return "/" not in location and "\\" not in location and "." in location
+
+
+def read_table(spark: SparkSession, location: str,
+               fmt: str = "auto") -> DataFrame:
     """Read pages/labels from ``location``: an Iceberg table name
-    (``catalog.db.tbl``, requires the runtime) or a parquet directory."""
-    if "/" not in location and iceberg_available(spark):
+    (``catalog.db.tbl``, requires the runtime) or a parquet directory.
+    ``fmt``: "auto" (heuristic + runtime detection), "iceberg", "parquet".
+    """
+    use_iceberg = fmt == "iceberg" or (
+        fmt == "auto" and _is_table_name(location) and iceberg_available(spark)
+    )
+    if use_iceberg:
         return spark.read.format("iceberg").load(location)
     return spark.read.parquet(location)
+
+
+_WRITE_MODES = ("append", "overwrite", "overwrite_partitions")
 
 
 def write_table(
@@ -49,18 +66,33 @@ def write_table(
     location: str,
     mode: str = "append",
     partition_by: tuple[str, ...] = (),
+    fmt: str = "auto",
 ) -> None:
     """Write to an Iceberg table (by name, with the runtime) or a parquet
-    directory; ``partition_by`` maps to Iceberg partition spec / parquet
-    subdirectories identically."""
+    directory; ``partition_by`` maps to the Iceberg partition spec / parquet
+    subdirectories identically. Modes: ``append``, ``overwrite`` (replace
+    the whole table), ``overwrite_partitions`` (replace only the partitions
+    present in ``df`` — Iceberg overwritePartitions / parquet dynamic
+    partition overwrite). Anything else raises."""
+    from pyspark.sql import functions as F
+
+    if mode not in _WRITE_MODES:
+        raise ValueError(f"mode must be one of {_WRITE_MODES}, got {mode!r}")
     spark = df.sparkSession
-    if "/" not in location and iceberg_available(spark):
+    use_iceberg = fmt == "iceberg" or (
+        fmt == "auto" and _is_table_name(location) and iceberg_available(spark)
+    )
+    if use_iceberg:
         w = df.writeTo(location)
         if mode == "overwrite_partitions":
             w.overwritePartitions()
         elif mode == "append":
             w.append()
-        else:
+        else:  # overwrite: replace table definition + data, WITH the spec
+            # (partitionedBy belongs to the create/replace path only —
+            # append/overwritePartitions write into the existing spec)
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
         return
     writer = df.write.mode(

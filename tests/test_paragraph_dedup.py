@@ -111,3 +111,13 @@ def test_near_dup_clusters_converges_under_max_iter(spark):
     got = {r.doc_id: r.cluster_id
            for r in near_dup_clusters(pairs, max_iter=50).collect()}
     assert all(v == 0 for v in got.values()) and len(got) == 31
+
+
+def test_crlf_and_lf_paragraphs_dedup_together(spark):
+    rows = [(1, "shared paragraph body\r\nunique line one"),
+            (2, "shared paragraph body\nunique line two")]
+    got = _run(spark, rows)
+    # CRLF doc 1 owns the shared paragraph; LF doc 2 loses it
+    assert got[1].text_dedup == "shared paragraph body\nunique line one"
+    assert got[2].text_dedup == "unique line two"
+    assert got[1].n_paras == 2 and got[2].n_kept == 1
