@@ -437,9 +437,27 @@ def q_langid_dist(spark, sf_dir):
     )
 
 
-def _langid_oracle_sql() -> str:
-    """DuckDB restatement of nl_lang_col's stopword scoring + argmax with
-    tie-to-greater-lang, generated from the same committed config."""
+def q_lang_mismatch(spark, sf_dir):
+    # C4-style language-consistency check: the declared `lang` column vs
+    # the detected stopword-argmax language, per ASCII doc (same domain
+    # restriction as langid_dist). The filter use-case: keep only docs
+    # whose declared language the detector confirms.
+    from linguistjs_spark.operators.scrub import nl_lang_col
+
+    d = _docs(spark, sf_dir).filter(~F.col("text").rlike("[^\\x00-\\x7F]"))
+    nl = F.coalesce(nl_lang_col(F.col("text")), F.lit(""))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared"),
+        nl.alias("detected"),
+        (nl == F.col("lang")).alias("lang_match"),
+    )
+
+
+def _langid_scored_cte() -> str:
+    """Shared DuckDB CTE: per-ASCII-doc stopword argmax (tie-to-greater-
+    lang) as columns (doc_id, lang, nl_lang) — generated from the same
+    committed config the native column uses."""
     from linguistjs_spark.metadata import load_langid_config
 
     conf = load_langid_config()
@@ -455,19 +473,40 @@ def _langid_oracle_sql() -> str:
     )
     min_hits = conf["min_confidence_hits"]
     return f"""
-        WITH t AS (
-          SELECT list_filter(string_split_regex(lower(text), '\\W+'),
+        t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\\W+'),
                              x -> x <> '') AS toks
           FROM documents
           WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]')
         ), s AS (
-          SELECT GREATEST({", ".join(terms)}) AS best FROM t
+          SELECT doc_id, lang, GREATEST({", ".join(terms)}) AS best FROM t
+        ), scored AS (
+          SELECT doc_id, lang,
+                 CASE WHEN best // 100000 >= {min_hits}
+                      THEN CASE best % 100000 {decode} END
+                 END AS nl_lang
+          FROM s
         )
-        SELECT CASE WHEN best // 100000 >= {min_hits}
-                    THEN CASE best % 100000 {decode} END
-               END AS nl_lang,
-               COUNT(*) AS n_docs
-        FROM s GROUP BY 1
+    """
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB restatement of nl_lang_col's stopword scoring + argmax with
+    tie-to-greater-lang, generated from the same committed config."""
+    return f"""
+        WITH {_langid_scored_cte()}
+        SELECT nl_lang, COUNT(*) AS n_docs FROM scored GROUP BY 1
+    """
+
+
+def _lang_mismatch_oracle_sql() -> str:
+    return f"""
+        WITH {_langid_scored_cte()}
+        SELECT doc_id, lang AS declared,
+               coalesce(nl_lang, '') AS detected,
+               coalesce(nl_lang, '') = lang AS lang_match
+        FROM scored
     """
 
 
@@ -888,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fitted_perplexity": q_fitted_perplexity,
         "c4_clean": q_c4_clean,
         "near_dup_clusters": q_near_dup_clusters,
+        "lang_mismatch": q_lang_mismatch,
     }
 
 
@@ -1675,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "langid_dist": _langid_oracle_sql(),
+        "lang_mismatch": _lang_mismatch_oracle_sql(),
         "cascade_wide": _cascade_wide_oracle_sql(),
         "pipeline_labels": _pipeline_labels_oracle_sql(),
         "minhash_pairs": _MINHASH_PAIRS_SQL,
