@@ -456,11 +456,19 @@ def q_lang_mismatch(spark, sf_dir):
 
 def _langid_scored_cte() -> str:
     """Shared DuckDB CTE: per-ASCII-doc stopword argmax (tie-to-greater-
-    lang) as columns (doc_id, lang, nl_lang) — generated from the same
-    committed config the native column uses."""
-    from linguistjs_spark.metadata import load_langid_config
+    lang) as columns (doc_id, lang, nl_lang).
 
-    conf = load_langid_config()
+    Deliberately INDEPENDENT of the engine's loaders (VERDICT r02 item 7):
+    the stopword lists come straight from the committed data/langid.json via
+    a bare json.load here, not through metadata.load_langid_config or
+    scrub._word_table — so a loader bug (a dropped language) or a word-table
+    bug (wrong bitmask/bucket in the single-pass fold) flips this
+    CORRECTNESS row instead of propagating to both sides."""
+    import json as _json
+    from pathlib import Path
+
+    raw = Path(__file__).parent / "linguistjs_spark" / "data" / "langid.json"
+    conf = _json.loads(raw.read_text())
     langs = sorted(conf["stopword_langs"])  # rank = alphabetical position
     terms = []
     for rank, lang in enumerate(langs):

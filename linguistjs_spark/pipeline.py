@@ -235,21 +235,29 @@ def run_pipeline(
     df = df.withColumn("quality", F.when(alive, quality_struct(text)))
     # shared (?U)\W+ tokenization for langid + toxicity: materialized as a
     # real column so each downstream reference reads it instead of
-    # re-splitting (cross-Project column reuse, unlike HOF lambda reuse)
+    # re-splitting (cross-Project column reuse, unlike HOF lambda reuse).
+    # When langid runs, ONE token_counts_col fold over it feeds both the
+    # stopword argmax and the toxicity counter (`_cnts`), so toxicity costs
+    # one array read instead of its own token traversal.
     share_toks = cfg.langid_fallback or cfg.toxicity_filter
     if share_toks:
         from .operators.scrub import tokens_col
 
         df = df.withColumn("_toks", F.when(alive, tokens_col(text)))
     toks = F.col("_toks") if share_toks else None
+    counts = None
     if cfg.langid_fallback:
+        from .operators.scrub import token_counts_col
+
+        df = df.withColumn("_cnts", F.when(alive, token_counts_col(toks)))
+        counts = F.col("_cnts")
         nl = None
         if cfg.fasttext_model_path:
             from .operators.scrub import fasttext_nl_lang_col
 
             nl = fasttext_nl_lang_col(text, cfg.fasttext_model_path)
         if nl is None:
-            nl = nl_lang_col(text, toks=toks)
+            nl = nl_lang_col(text, counts=counts)
     else:
         nl = F.lit(None).cast("string")
     df = df.withColumn("nl_lang", F.when(alive, nl))
@@ -283,7 +291,8 @@ def run_pipeline(
         tox_reason = F.when(
             (F.col("quality.n_words") > 0)
             & (
-                toxicity_hits_col(text, toks=toks) / F.col("quality.n_words")
+                toxicity_hits_col(text, toks=toks, counts=counts)
+                / F.col("quality.n_words")
                 > cfg.toxicity_max_ratio
             ),
             F.lit("toxicity"),
