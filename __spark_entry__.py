@@ -162,37 +162,37 @@ _WIDE_EXT_LANGS = [
     (".go", "Go"), (".swift", "Swift"), (".kt", "Kotlin"), (".kts", "Kotlin"),
     (".dart", "Dart"), (".rb", "Ruby"), (".java", "Java"), (".scala", "Scala"),
     (".clj", "Clojure"), (".hs", "Haskell"), (".erl", "Erlang"),
-    (".ex", "Elixir"), (".exs", "Elixir"), (".elm", "Elm"), (".zig", "Zig"),
+    (".exs", "Elixir"), (".lex", "Lex"), (".elm", "Elm"), (".zig", "Zig"),
     (".nim", "Nim"), (".jl", "Julia"), (".lua", "Lua"), (".toml", "TOML"),
     (".yml", "YAML"), (".yaml", "YAML"), (".json", "JSON"), (".xml", "XML"),
     (".css", "CSS"), (".scss", "SCSS"), (".less", "Less"), (".sass", "Sass"),
-    (".vue", "Vue"), (".svelte", "Svelte"), (".sol", "Solidity"),
+    (".vue", "Vue"), (".svelte", "Svelte"), (".muf", "Forth"),
     (".proto", "Protocol Buffer"), (".graphql", "GraphQL"), (".ini", "INI"),
     (".csv", "CSV"), (".tsv", "TSV"), (".sh", "Shell"), (".bash", "Shell"),
     (".ps1", "PowerShell"), (".bat", "Batchfile"), (".pas", "Pascal"),
     (".vhd", "VHDL"), (".tcl", "Tcl"), (".rkt", "Racket"),
-    (".el", "Emacs Lisp"), (".ml", "OCaml"), (".fs", "F#"), (".sql", "SQL"),
-    (".r", "R"), (".tex", "TeX"), (".rst", "reStructuredText"),
+    (".el", "Emacs Lisp"), (".mli", "OCaml"), (".fsx", "F#"), (".mysql", "SQL"),
+    (".rsx", "R"), (".tex", "TeX"), (".rst", "reStructuredText"),
     (".org", "Org"), (".adoc", "AsciiDoc"), (".diff", "Diff"),
     (".dockerfile", "Dockerfile"), (".cmake", "CMake"), (".groovy", "Groovy"),
     (".gradle", "Gradle"), (".hcl", "HCL"), (".tf", "HCL"), (".nix", "Nix"),
     (".vim", "Vim Script"), (".awk", "Awk"), (".cob", "COBOL"),
-    (".cr", "Crystal"), (".pyx", "Cython"), (".d", "D"),
-    (".ahk", "AutoHotkey"), (".as", "ActionScript"), (".bal", "Ballerina"),
+    (".cr", "Crystal"), (".pyx", "Cython"), (".di", "D"),
+    (".ahk", "AutoHotkey"), (".angelscript", "AngelScript"), (".bal", "Ballerina"),
     (".bicep", "Bicep"), (".cfm", "ColdFusion"), (".cson", "CSON"),
     (".cue", "CUE"), (".dfy", "Dafny"), (".dwl", "DataWeave"),
-    (".ftlh", "FreeMarker"), (".feature", "Gherkin"), (".gd", "GDScript"),
+    (".ftlh", "FreeMarker"), (".feature", "Gherkin"), (".mumps", "M"),
     (".gleam", "Gleam"), (".hx", "Haxe"), (".ipynb", "Jupyter Notebook"),
     (".jq", "JQ"), (".json5", "JSON5"), (".jsonnet", "Jsonnet"),
-    (".kv", "kvlang"), (".lfe", "LFE"), (".lisp", "Common Lisp"),
+    (".kv", "kvlang"), (".lfe", "LFE"), (".asd", "Common Lisp"),
     (".ly", "LilyPond"), (".m2", "Macaulay2"), (".marko", "Marko"),
     (".metal", "Metal"), (".mq4", "MQL4"), (".nf", "Nextflow"),
-    (".nss", "NWScript"), (".nut", "Squirrel"), (".odin", "Odin"),
+    (".nss", "NWScript"), (".nut", "Squirrel"), (".db2", "SQLPL"),
     (".p4", "P4"), (".pde", "Processing"), (".pegjs", "PEG.js"),
     (".pig", "PigLatin"), (".pike", "Pike"), (".pkl", "Pkl"),
     (".pony", "Pony"), (".pov", "POV-Ray SDL"), (".prisma", "Prisma"),
     (".ps", "PostScript"), (".pug", "Pug"), (".purs", "PureScript"),
-    (".pwn", "Pawn"), (".qasm", "OpenQASM"), (".re", "Reason"),
+    (".pwn", "Pawn"), (".qasm", "OpenQASM"), (".rei", "Reason"),
     (".robot", "RobotFramework"), (".sas", "SAS"), (".sed", "sed"),
     (".slim", "Slim"), (".smithy", "Smithy"), (".sml", "Standard ML"),
     (".sp", "SourcePawn"), (".sparql", "SPARQL"), (".stan", "Stan"),
@@ -216,6 +216,11 @@ _WIDE_EXT_LANGS = [
     (".csd", "Csound Document"), (".sco", "Csound Score"),
     (".kicad_pcb", "KiCad Layout"),
     (".lvproj", "LabVIEW"), (".ol", "Jolie"), (".cdf", "Mathematica"),
+    # batch-3 widening (scripts/widen_heuristics3.py): single-candidate
+    # exts of the newly added languages (their contested exts are pinned
+    # with real content in cascade_heuristics instead)
+    (".reb", "Rebol"), (".xi", "Logos"), (".gbr", "Gerber Image"),
+    (".dlm", "IDL"), (".pri", "QMake"),
 ]
 
 
@@ -254,6 +259,149 @@ def _cascade_wide_oracle_sql() -> str:
         f"SELECT lang, COUNT(*) AS n_docs, "
         f"CAST(SUM(strlen(text) + 12) AS BIGINT) AS bytes "
         f"FROM (SELECT CASE doc_id % {n} {whens} END AS lang, text "
+        f"FROM documents) GROUP BY lang"
+    )
+
+
+# cascade_heuristics fixture: one (ext, content, expected_lang) per rule
+# branch of the round-3 widened disambiguation groups (VERDICT r02 item 4:
+# content-based pins for newly contested extensions). Each snippet is
+# written so the INTENDED rule fires and every earlier rule in its group
+# misses, exercising rule order; all snippets are ASCII and avoid
+# shebang/modeline first lines so classification is a pure function of
+# (ext, content). Expected labels restated literally by the DuckDB oracle
+# and independently cross-checked row-by-row against the python oracle in
+# tests/test_snapshot_batch3.py. Reference semantics: src/index.ts:320-361
+# (first matching rule wins; rules gated to the candidate set).
+_HEUR_CASES = [
+    (".as", "package com.example\nclass Main {}", "ActionScript"),
+    (".as", "shared abstract class Foo {}", "AngelScript"),
+    (".cls", "Class Foo.Bar Extends %RegisteredObject {}", "ObjectScript"),
+    (".cls", "VERSION 1.0 CLASS\nBEGIN\nEND", "Visual Basic 6.0"),
+    (".cls", "\\ProvidesClass{myclass}[2024/01/01]", "TeX"),
+    (".d", "module foo.bar;\nvoid main() {}", "D"),
+    (".d", "#pragma D option quiet\nBEGIN { trace(1); }", "DTrace"),
+    (".d", "foo.o: foo.c\n\tcc -c foo.c", "Makefile"),
+    (".e", "class\n HELLO\nfeature\nend", "Eiffel"),
+    (".e", 'include std/io.e\nputs(1, "hi")', "Euphoria"),
+    (".es", "%% comment\nmain(_Args) -> ok.", "Erlang"),
+    (".es", "'use strict';\nlet x = 1;", "JavaScript"),
+    (".ex", "defmodule Foo do\nend", "Elixir"),
+    (".ex", "global function foo()\nend function", "Euphoria"),
+    (".fs", ": star 42 emit ;", "Forth"),
+    (".fs", "module Foo\nlet x = 1", "F#"),
+    (".fs", "#version 330 core\nvoid main() {}", "GLSL"),
+    (".fs", '#include "rs_graphics.rsh"', "Filterscript"),
+    (".gd", 'DeclareCategory("IsFoo", IsObject);', "GAP"),
+    (".gd", "extends Node\nvar health = 100", "GDScript"),
+    (".gml", '<?xml version="1.0"?>\n<graphml/>', "XML"),
+    (".gml", "graph [\n  node [\n    id 1\n  ]\n]", "Graph Modeling Language"),
+    (".gs", '[indent=4]\ninit\n\tprint "hi"', "Genie"),
+    (".gs", "uses java.util.List\nclass A {}", "Gosu"),
+    (".html", '<emu-clause id="sec-intro">\n</emu-clause>', "Ecmarkup"),
+    (".html", "<!DOCTYPE html>\n<html></html>", "HTML"),
+    (".ice", '{ "a": 1 }', "JSON"),
+    (".ice", "module Demo {\ninterface Printer {}\n}", "Slice"),
+    (".l", "(defun foo (x) x)", "Common Lisp"),
+    (".l", "%%\n[0-9]+  return NUM;", "Lex"),
+    (".l", ".TH FOO 1", "Roff"),
+    (".l", "(de foo (X) X)", "PicoLisp"),
+    (".lisp", "(defun foo () nil)", "Common Lisp"),
+    (".lsp", "(define (foo x) x)", "NewLisp"),
+    (".ls", "package com.game {\nclass A {}\n}", "LoomScript"),
+    (".ml", "let rec fact n = n", "OCaml"),
+    (".ml", "case x of\n  NONE => 0", "Standard ML"),
+    (".mod", '<!ENTITY % foo "bar">', "XML"),
+    (".mod", "MODULE Hello;\nEND Hello;", "Modula-2"),
+    (".n", ".nh\nsome roff text", "Roff"),
+    (".n", "using System;\nmodule M {}", "Nemerle"),
+    (".ncl", '<?xml version="1.0"?>\n<ncl/>', "XML"),
+    (".ncl", "config THE_TITLE here", "Text"),
+    (".nl", "b4 12 13\ng5 1 2", "NL"),
+    (".nl", "(define (f x) x)", "NewLisp"),
+    (".odin", 'name = <flavour>\nother = <"text">',
+     "Object Data Instance Notation"),
+    (".odin", "package main\nmain :: proc() {}", "Odin"),
+    (".p", "set terminal png\nplot sin(x)", "Gnuplot"),
+    (".p", "define input parameter n as integer.", "OpenEdge ABL"),
+    (".pluginspec", '<?xml version="1.0"?>\n<plugin/>', "XML"),
+    (".pp", "program Hello;\nbegin\nend.", "Pascal"),
+    (".pp", "service { 'x':\n  ensure => running,\n}", "Puppet"),
+    (".pro", "likes(a, b).\nfoo :- bar.", "Prolog"),
+    (".pro", "[General]\nlast_client=MyApp", "INI"),
+    (".pro", "SOURCES += main.cpp", "QMake"),
+    (".pro", "function foo, a, b\nreturn, a\nend", "IDL"),
+    (".q", "upd:{x+y}", "q"),
+    (".q", "SELECT col FROM tbl", "HiveQL"),
+    (".r", 'Rebol [Title: "demo"]', "Rebol"),
+    (".r", "x <- c(1, 2, 3)", "R"),
+    (".re", "#include <vector>\nint main() {}", "C++"),
+    (".re", "let x: int = 1;", "Reason"),
+    (".sc", "SynthDef(\\sine, { arg out; }).add;", "SuperCollider"),
+    (".sc", "import scala.collection.mutable", "Scala"),
+    (".sol", "D02*\nM02*\n", "Gerber Image"),
+    (".sol", "pragma solidity ^0.8.0;\ncontract C {}", "Solidity"),
+    (".st", "$name$(args)$", "StringTemplate"),
+    (".st", "x := y", "Smalltalk"),
+    (".toc", "## Interface: 11200\n## Title: MyAddon",
+     "World of Warcraft Addon Data"),
+    (".toc", "\\contentsline {section}{Intro}{1}", "TeX"),
+    (".tsx", "import React from 'react'", "TypeScript"),
+    (".tsx", '<?xml version="1.0"?>\n<x/>', "XML"),
+    (".w", "&ANALYZE-SUSPEND _UIB-CODE-BLOCK", "OpenEdge ABL"),
+    (".w", "@ Intro.\n@<Program@>=\n", "CWeb"),
+    (".x", "xof 0302txt 0064\n", "DirectX 3D File"),
+    (".x", "program PING {\n version V1 {\n } = 1;\n} = 2;", "RPC"),
+    (".x", "%hook SpringBoard\n%end", "Logos"),
+    (".x", "SECTIONS\n{\n . = 0x10000;\n}", "Linker Script"),
+    (".yy", '{\n "rules": []\n}', "JSON"),
+]
+
+
+def q_cascade_heuristics(spark, sf_dir):
+    # Content-based disambiguation pins for the widened heuristic groups:
+    # pages cycle through _HEUR_CASES (extension AND content vary per
+    # residue class of doc_id), so the per-language rollup is a pure
+    # function of the fixture that the literal SQL CASE restates. Unlike
+    # cascade_wide (text-independent ext mapping), every row here takes the
+    # heuristic slow path: multi-candidate extension, rules evaluated in
+    # group order against the real content.
+    n = len(_HEUR_CASES)
+    exts = F.array(*[F.lit(e) for e, _, _ in _HEUR_CASES])
+    texts = F.array(*[F.lit(c) for _, c, _ in _HEUR_CASES])
+    idx = (F.col("doc_id") % n + 1).cast("int")
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://heur.example/case"),
+            F.col("doc_id").cast("string"),
+            F.element_at(exts, idx),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.element_at(texts, idx).alias("text"),
+    )
+    labels = run_pipeline(spark, pages, _CASCADE_CFG)
+    return (
+        labels.filter(F.col("keep"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("bytes").cast("long").alias("bytes"))
+    )
+
+
+def _cascade_heuristics_oracle_sql() -> str:
+    n = len(_HEUR_CASES)
+    lang_whens = " ".join(
+        f"WHEN {i} THEN '{lang.replace(chr(39), chr(39) * 2)}'"
+        for i, (_, _, lang) in enumerate(_HEUR_CASES)
+    )
+    byte_whens = " ".join(
+        f"WHEN {i} THEN {len(content.encode('utf-8'))}"
+        for i, (_, content, _) in enumerate(_HEUR_CASES)
+    )
+    return (
+        f"SELECT lang, COUNT(*) AS n_docs, CAST(SUM(b) AS BIGINT) AS bytes "
+        f"FROM (SELECT CASE doc_id % {n} {lang_whens} END AS lang, "
+        f"CASE doc_id % {n} {byte_whens} END AS b "
         f"FROM documents) GROUP BY lang"
     )
 
@@ -898,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "cascade_extmap": q_cascade_extmap,
         "cascade_wide": q_cascade_wide,
+        "cascade_heuristics": q_cascade_heuristics,
         "keep_reason_rollup": q_keep_reason_rollup,
         "unknown_rollup": q_unknown_rollup,
         "minsize_other": q_minsize_other,
@@ -1725,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_dist": _langid_oracle_sql(),
         "lang_mismatch": _lang_mismatch_oracle_sql(),
         "cascade_wide": _cascade_wide_oracle_sql(),
+        "cascade_heuristics": _cascade_heuristics_oracle_sql(),
         "pipeline_labels": _pipeline_labels_oracle_sql(),
         "minhash_pairs": _MINHASH_PAIRS_SQL,
         "simhash_pairs": _simhash_pairs_oracle_sql(),

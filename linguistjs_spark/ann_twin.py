@@ -120,14 +120,14 @@ def ivf_topk_expected(
     qvec = dict(emb)[query_id]
     cents = _ivf_centroids_twin(emb, n_centroids, iters)
 
-    # ivf_topk's probe selection (driver-side python cos, same fold)
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
-        return d / na if na else 0.0
+    # probe selection is SHARED with the engine (similarity.select_probes)
+    # so the tie-break is pinned in one place; in both the engine and this
+    # twin it is driver-side python over the tiny centroid list, so sharing
+    # it does not weaken the twin's independence on the distributed part
+    # (assignment + scoring below stay independently written)
+    from .operators.similarity import select_probes
 
-    probe = sorted(cents, key=lambda c: -cos(qvec, c[1]))[:n_probe]
-    probe_ids = {cid for cid, _ in probe}
+    probe_ids = set(select_probes(cents, qvec, n_probe))
 
     scored = []
     for vid, vec in emb:

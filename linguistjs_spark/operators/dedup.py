@@ -329,7 +329,8 @@ def paragraph_dedup(
     is reassembled from its surviving paragraphs in original order.
 
     Output: one row per input document —
-    ``(id, n_paras, n_kept, text_dedup)``.
+    ``(id, n_paras, n_kept, text_dedup)``; NULL-text docs report
+    ``n_paras=0, n_kept=0``.
 
     Scale shape (10^12 docs):
       * posexplode + xxhash64 fingerprint is a narrow projection — the
@@ -357,7 +358,12 @@ def paragraph_dedup(
 
     paras = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), LINE_SPLIT_PAT)).alias("n_paras"),
+        # coalesce: size(NULL array) is -1, and the docstring promises
+        # n_paras=0 (not a sentinel) for NULL-text docs (ADVICE r02) —
+        # downstream sums/ratios must not see negatives
+        F.coalesce(
+            F.size(F.split(F.col(text_col), LINE_SPLIT_PAT)), F.lit(0)
+        ).alias("n_paras"),
         F.posexplode_outer(
             F.split(F.col(text_col), LINE_SPLIT_PAT)
         ).alias("pos", "para"),

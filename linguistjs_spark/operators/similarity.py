@@ -207,6 +207,30 @@ def with_ivf_buckets(
     )
 
 
+def select_probes(
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    n_probe: int,
+) -> tuple[int, ...]:
+    """The n_probe centroid ids nearest the query by cosine, tie-broken by
+    ascending centroid id — deterministic regardless of the order the
+    centroid list arrives in. Driver-side on purpose: the centroid table is
+    tiny (k entries), so probe choice never touches the cluster. Shared by
+    ivf_topk AND the pure-python oracle twin (ann_twin.ivf_topk_rows), so
+    the probe-order tie-break is pinned in exactly one place (VERDICT r02
+    item 10) — a divergence here would surface as a flaky recall mismatch
+    rather than a caught bug."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        return d / na if na else 0.0
+
+    probe = sorted(centroids, key=lambda c: (-cos(query_vec, c[1]), c[0]))
+    return tuple(cid for cid, _ in probe[:n_probe])
+
+
 def ivf_topk(
     indexed: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -216,15 +240,7 @@ def ivf_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k scanning only the n_probe nearest centroid buckets."""
-    import math
-
-    def cos(a, b):
-        d = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
-        return d / na if na else 0.0
-
-    probe = sorted(centroids, key=lambda c: -cos(query_vec, c[1]))[:n_probe]
-    probe_ids = [cid for cid, _ in probe]
+    probe_ids = list(select_probes(centroids, query_vec, n_probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cand = indexed.filter(F.col("centroid").isin(probe_ids))
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("score"))

@@ -66,15 +66,18 @@ def url_dedup(
     (warc_ts, url) — timestamp ties broken deterministically by the
     lexicographically largest raw url string).
 
-    Single shuffle keyed on xxhash64(canonical url) — the full canonical
-    string never rides the shuffle as a key, only inside the max_by payload
-    struct."""
+    Single shuffle keyed on the canonical string itself. An earlier
+    formulation keyed on xxhash64(url_canon) to keep the shuffle key at 8
+    bytes, but a 64-bit collision there silently DROPS one of two unrelated
+    pages — at the 10^12-row target, birthday math expects tens of
+    thousands of such losses (ADVICE r02). The string key costs nothing
+    extra: url_canon already rides the payload struct, and Spark hashes the
+    key for partitioning anyway, so collisions now only co-locate rows
+    instead of merging them."""
     canon = canonical_url_col(F.col(url_col))
-    key = F.xxhash64(canon)
     return (
-        pages.withColumn("_ck", key)
-        .withColumn("url_canon", canon)
-        .groupBy("_ck")
+        pages.withColumn("url_canon", canon)
+        .groupBy("url_canon")
         .agg(
             F.max_by(
                 F.struct("url_canon", *pages.columns),
@@ -100,15 +103,20 @@ def domain_rollup(
     domain skew). ``exact_urls=True`` switches to an exact count_distinct —
     correct-by-construction for oracle checks, but it costs a second
     exchange on (domain, url-hash); don't use it at 10^12 rows."""
+    # exact mode counts the canonical STRING (collision-proof, matches the
+    # oracle); the sketch keeps the 8-byte hash — HLL re-hashes its input,
+    # so feeding it the 64-bit key costs no accuracy and less shuffle
     agg_urls = (
-        F.count_distinct("_ck") if exact_urls
+        F.count_distinct("_canon") if exact_urls
         else F.approx_count_distinct("_ck", rsd=0.01)
     )
+    canon = canonical_url_col(F.col(url_col))
     return (
         pages.select(
             domain_col(F.col(url_col)).alias("domain"),
             F.octet_length(F.col(text_col)).alias("bytes"),
-            F.xxhash64(canonical_url_col(F.col(url_col))).alias("_ck"),
+            *( [canon.alias("_canon")] if exact_urls
+               else [F.xxhash64(canon).alias("_ck")] ),
         )
         .groupBy("domain")
         .agg(

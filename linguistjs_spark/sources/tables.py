@@ -36,12 +36,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_FILE_EXTS = (".parquet", ".orc", ".avro", ".json", ".csv")
+
+
 def _is_table_name(location: str) -> bool:
-    """Heuristic: dotted, path-separator-free identifiers are Iceberg
-    table names (``catalog.db.tbl``); anything with a path separator or
-    without a dot (a bare relative dir like ``pages``) is a parquet
-    location. Pass ``fmt`` explicitly to override the heuristic."""
-    return "/" not in location and "\\" not in location and "." in location
+    """Heuristic: only the full ``catalog.db.tbl`` 3-part shape (dotted,
+    path-separator-free, no known file extension) is treated as an Iceberg
+    table name. Bare relative locations like ``out.parquet`` or a 2-part
+    ``pages.v2`` stay on the parquet path — routing those to a catalog
+    would fail or target a nonexistent table whenever the runtime jar
+    happens to be present (ADVICE r02). Pass ``fmt="iceberg"`` explicitly
+    for db.tbl names resolved against a default catalog."""
+    if "/" in location or "\\" in location:
+        return False
+    if location.lower().endswith(_FILE_EXTS):
+        return False
+    parts = location.split(".")
+    return len(parts) == 3 and all(p for p in parts)
 
 
 def read_table(spark: SparkSession, location: str,
@@ -95,6 +106,17 @@ def write_table(
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
         return
+    if mode == "overwrite_partitions" and not partition_by:
+        # fail loud: with no partition columns the parquet path would
+        # silently degrade to a full-directory overwrite, diverging from
+        # the "replace only the partitions present in df" contract
+        # (ADVICE r02). Iceberg tables carry their own spec, so only the
+        # parquet fallback needs the explicit columns.
+        raise ValueError(
+            "overwrite_partitions on a parquet location requires "
+            "partition_by columns (otherwise it would overwrite the whole "
+            "directory); pass partition_by or use mode='overwrite'"
+        )
     writer = df.write.mode(
         "overwrite" if mode == "overwrite_partitions" else mode
     )

@@ -91,9 +91,21 @@ def test_metadata_size():
 
 
 def test_dot_m_alternatives():
-    # unit.js:40: '.m' has exactly one alternative
+    # unit.js:40 asserts alternatives_count == 1, which counts FILES in the
+    # alternatives map (test/unit.js:16), i.e. "the .m file HAS alternatives"
+    # — NOT that there is exactly one alternative language. With the full
+    # upstream language set the reference's empty-content fallback picks the
+    # first candidate in languages.yml order (src/index.ts:368), which for
+    # .m is Limbo; the snapshot's .m group (6 candidates) mirrors that.
     r = analyse_document("https://x/.m", "", cfg=CFG)
-    assert r.lang == "MATLAB" and r.alternatives == ["Objective-C"]
+    assert r.lang == "Limbo"
+    assert len(r.alternatives) >= 1
+    assert "Objective-C" in r.alternatives and "MATLAB" in r.alternatives
+    # content-based disambiguation still lands on MATLAB/Objective-C
+    r = analyse_document("https://x/x.m", "% comment\nx = 1;", cfg=CFG)
+    assert r.lang == "MATLAB"
+    r = analyse_document("https://x/y.m", '#import "Foo.h"\n@interface', cfg=CFG)
+    assert r.lang == "Objective-C"
 
 
 def test_asc_alternatives():

@@ -71,6 +71,9 @@ def test_null_text_doc_survives_with_zero_kept(spark):
     got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
     assert set(got) == {1, 2}
     assert (got[2].n_kept, got[2].text_dedup) == (0, "")
+    # ADVICE r02: size(NULL split) is -1; the contract is n_paras=0, never
+    # a negative sentinel leaking into downstream sums/ratios
+    assert got[2].n_paras == 0
 
 
 def test_plan_single_scan_no_join(spark, tmp_path):

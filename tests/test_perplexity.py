@@ -74,3 +74,60 @@ def test_fitted_model_separates_prose_from_gibberish(spark):
     good = perplexity_with_table(table, "the streets along the river are quiet")
     bad = perplexity_with_table(table, "xq zvk jjw qqp zzx mmv kkq wwz")
     assert bad > good * 2
+
+
+def test_arpa_export_roundtrip(tmp_path):
+    # VERDICT r02 item 6: the KenLM hook's model-file interface, exercised
+    # end-to-end with the repo's own tooling — fit, export ARPA, reload,
+    # score-identical (within the log10<->log2 conversion's float error)
+    import numpy as np
+
+    from linguistjs_spark.perplexity import (
+        export_arpa, fit_char_bigram_table_local, load_arpa_table,
+        perplexity_with_table)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs", "zzzz qqqq xxxx"]
+    table = fit_char_bigram_table_local(texts)
+    p = str(tmp_path / "model.arpa")
+    export_arpa(table, p)
+    loaded = load_arpa_table(p)
+    assert np.allclose(loaded, table, rtol=0, atol=1e-12)
+    for t in texts + ["completely unseen sentence with normal words"]:
+        assert perplexity_with_table(loaded, t) == pytest.approx(
+            perplexity_with_table(table, t), rel=1e-9)
+
+
+def test_arpa_file_is_spec_shaped(tmp_path):
+    # header counts + required sentinel words, so real ARPA consumers
+    # (kenlm.Model, SRILM ngram) accept the artifact
+    from linguistjs_spark.perplexity import (
+        export_arpa, fit_char_bigram_table_local)
+
+    table = fit_char_bigram_table_local(["abc abc abc"])
+    p = str(tmp_path / "m.arpa")
+    export_arpa(table, p)
+    text = open(p).read()
+    assert text.startswith("\\data\\\n")
+    assert "ngram 1=259" in text and "ngram 2=65536" in text
+    for w in ("<unk>", "<s>", "</s>"):
+        assert w in text
+    assert text.rstrip().endswith("\\end\\")
+    assert text.count("\n") == 65536 + 259 + 9
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["x"]).find_spec("kenlm") is None,
+    reason="kenlm not installed in this environment",
+)
+def test_real_kenlm_loads_exported_arpa(tmp_path):
+    from linguistjs_spark.perplexity import (
+        export_arpa, fit_char_bigram_table_local, try_import_kenlm)
+
+    table = fit_char_bigram_table_local(
+        ["the quick brown fox jumps over the lazy dog"] * 3)
+    p = str(tmp_path / "m.arpa")
+    export_arpa(table, p)
+    scorer = try_import_kenlm(p)
+    assert scorer is not None
+    assert scorer("the quick brown fox") > 0

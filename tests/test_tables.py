@@ -27,3 +27,27 @@ def test_iceberg_detection_is_honest(spark):
     # this container has no Iceberg runtime; the facade must say so and
     # route names to parquet rather than failing at analysis time
     assert iceberg_available(spark) is False
+
+
+def test_table_name_heuristic_requires_three_parts():
+    # ADVICE r02: bare relative locations with dots must stay on the
+    # parquet path even when an Iceberg jar is present
+    from linguistjs_spark.sources.tables import _is_table_name
+
+    assert _is_table_name("catalog.db.tbl") is True
+    assert _is_table_name("out.parquet") is False
+    assert _is_table_name("pages.v2") is False
+    assert _is_table_name("a.b.c.d") is False
+    assert _is_table_name("cat..tbl") is False
+    assert _is_table_name("dir/cat.db.tbl") is False
+    assert _is_table_name("data.ORC") is False
+
+
+def test_overwrite_partitions_without_columns_fails_loud(spark, tmp_path):
+    # ADVICE r02: the parquet path must not silently degrade
+    # overwrite_partitions into a full-directory overwrite
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="partition_by"):
+        write_table(df, str(tmp_path / "t"), mode="overwrite_partitions")

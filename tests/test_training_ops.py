@@ -126,6 +126,44 @@ def test_media_feature_plumbing(spark):
         extract_media_features(media, fake=False).collect()
 
 
+@pytest.mark.skipif(
+    not __import__(
+        "linguistjs_spark.operators.multimodal", fromlist=["x"]
+    ).real_image_decode_available(),
+    reason="Pillow not importable in this environment",
+)
+def test_media_real_pil_decode(spark):
+    # VERDICT r02 item 9: when Pillow IS present the fake must not be used —
+    # width/height come from the actual decoded image, and the contract
+    # (FEATURE_SCHEMA, 16-float feature) is unchanged
+    import io
+
+    from PIL import Image
+
+    def png(w, h, shade):
+        img = Image.new("L", (w, h), color=shade)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(5, 3, 0), "image", None, None, None),
+            (2, png(8, 2, 255), "image", None, None, None)]
+    from linguistjs_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.doc_id: r for r in
+           extract_media_features(media, fake=False).collect()}
+    assert (got[1].feat_width, got[1].feat_height) == (5, 3)
+    assert (got[2].feat_width, got[2].feat_height) == (8, 2)
+    for r in got.values():
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-6
+    # all-black image: every pixel lands in histogram bin 0
+    assert got[1].feature[0] == pytest.approx(1.0)
+    # all-white: bin 15
+    assert got[2].feature[15] == pytest.approx(1.0)
+
+
 def test_resumable_run_idempotent(spark, tmp_path):
     from linguistjs_spark.streaming.resume import read_labels, resumable_run
     from linguistjs_spark.sources.pages import pages_df
