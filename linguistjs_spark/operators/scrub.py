@@ -108,13 +108,20 @@ def token_counts_col(toks: Column) -> Column:
     stopword hit counts (sorted language order) with the toxicity-word count
     as the final element (`_word_table` bit layout).
 
-    O(tokens) regardless of language count: per token one xxhash64 + one
-    O(1) bucket fetch + a <=2-element bucket scan; only tokens that HIT a
-    word pay the 17-counter increment. The previous formulation ran one
-    full-array ``F.filter``/``array_contains`` traversal per language —
-    O(tokens x langs x |stopwords|) — which VERDICT r02 measured at ~13-17%
-    of pipeline wall and which doubled in cost every time the language
-    snapshot widened."""
+    O(tokens) regardless of language count, in TWO phases chosen by A/B
+    (BASELINE.md round 3): (1) one ``transform`` maps each token to its
+    bitmask — xxhash64 + O(1) bucket fetch + a <=2-element bucket scan —
+    then drops the misses (the common case) with one int ``filter``;
+    (2) one ``aggregate`` fold over the surviving hit masks increments the
+    17 counters. The phase split matters: the earlier formulation did the
+    lookup INSIDE the aggregate step, so every token paid the fold's
+    struct/let machinery and the hot loop allocated per-token; hoisting the
+    lookup into a primitive-int transform measured ~1.9x faster isolated.
+    (The round-2 per-language ``F.filter``/``array_contains`` formulation —
+    O(tokens x langs x |stopwords|) — is allocation-free and therefore
+    hides well behind the pipeline's Python-UDF critical path, but loses
+    in isolation and scales linearly in language count; see BASELINE.md
+    round-3 A/B table before touching this again.)"""
     from .dedup import _let
 
     words_sql, masks_sql, stop_langs, tox_bit = _word_table()
@@ -123,32 +130,31 @@ def token_counts_col(toks: Column) -> Column:
     n_counters = tox_bit + 1
     pow2 = F.array(*[F.lit(1 << i) for i in range(n_counters)])
 
-    def step(acc: Column, x: Column) -> Column:
+    def lookup(x: Column) -> Column:
         idx = (F.pmod(F.xxhash64(x), F.lit(_N_BUCKETS)) + 1).cast("int")
-
-        def with_mask(m: Column) -> Column:
-            return F.when(m.isNull() | (m == 0), acc).otherwise(
-                F.transform(
-                    acc,
-                    lambda c, i: c
-                    + F.when(
-                        m.bitwiseAND(F.element_at(pow2, i + 1)) != 0, F.lit(1)
-                    ).otherwise(F.lit(0)),
-                )
-            )
-
-        # let-bind both lookup steps: HOF lambda children are interpreted
-        # with no common-subexpression elimination, so a bare `mask`
-        # referenced once per counter would re-hash the token 17 times
-        mask = _let(
+        # let-bind the position: HOF lambda children are interpreted with
+        # no common-subexpression elimination, so a bare reference would
+        # re-run the bucket probe per use
+        return _let(
             F.array_position(F.element_at(words_lit, idx), x).cast("int"),
             lambda pos: F.when(
                 pos > 0, F.element_at(F.element_at(masks_lit, idx), pos)
             ).otherwise(F.lit(0)),
         )
-        return _let(mask, with_mask)
 
-    return F.aggregate(toks, F.array_repeat(F.lit(0), n_counters), step)
+    def step(acc: Column, m: Column) -> Column:
+        return F.transform(
+            acc,
+            lambda c, i: c
+            + F.when(
+                m.bitwiseAND(F.element_at(pow2, i + 1)) != 0, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+
+    hit_masks = F.filter(F.transform(toks, lookup), lambda m: m != 0)
+    return F.aggregate(
+        hit_masks, F.array_repeat(F.lit(0), n_counters), step
+    )
 
 
 def toxicity_hits_col(
