@@ -153,7 +153,7 @@ def q_cascade_extmap(spark, sf_dir):
     )
 
 
-# cascade_wide fixture: 128 extensions spanning the widened metadata
+# cascade_wide fixture: 287 extensions spanning the widened metadata
 # snapshot (VERDICT r01 #2), each a single-candidate ext whose classification
 # is text-independent (not shebang/modeline/heuristic-gated), pinned to its
 # expected language. The DuckDB oracle restates this list literally, so a
@@ -221,12 +221,58 @@ _WIDE_EXT_LANGS = [
     # with real content in cascade_heuristics instead)
     (".reb", "Rebol"), (".xi", "Logos"), (".gbr", "Gerber Image"),
     (".dlm", "IDL"), (".pri", "QMake"),
+    # batch-4 widening (scripts/widen_langs4.py): unique-ext languages of
+    # the 580-language snapshot. Group-bearing children pin their COLLAPSED
+    # parent label (.bib->TeX, .ebuild->Shell, .rbs->Ruby, .ms->Assembly...)
+    # so these rows double as C7 group-collapse pins. Binary-filtered exts
+    # (.snap .rtf .stl .xbm .xpm) are deliberately absent: they classify
+    # keep=false and would vanish from the rollup.
+    (".bsl", "1C Enterprise"), (".2da", "2-Dimensional Array"),
+    (".asddls", "ABAP CDS"), (".aidl", "AIDL"), (".als", "Alloy"),
+    (".apib", "API Blueprint"), (".agc", "Apollo Guidance Computer"),
+    (".applescript", "AppleScript"), (".arc", "Arc"), (".asy", "Asymptote"),
+    (".aug", "Augeas"), (".avdl", "Avro IDL"), (".befunge", "Befunge"),
+    (".bib", "TeX"), (".bsv", "Bluespec"), (".bpl", "Boogie"),
+    (".mss", "CartoCSS"), (".click", "Click"), (".soy", "Closure Templates"),
+    (".conllu", "CoNLL-U"), (".curry", "Curry"), (".cy", "Cycript"),
+    (".dsc", "DenizenScript"), (".djs", "Dogescript"), (".eml", "E-mail"),
+    (".eb", "Easybuild"), (".epj", "Ecere Projects"),
+    (".edc", "Edje Data Collection"), (".elv", "Elvish"), (".ged", "GEDCOM"),
+    (".kid", "Genshi"), (".ebuild", "Shell"), (".eclass", "Shell"),
+    (".gjs", "Glimmer JS"), (".gts", "Glimmer TS"),
+    (".tres", "Godot Resource"), (".grace", "Grace"), (".ecr", "HTML"),
+    (".eex", "HTML"), (".erb", "HTML"), (".phtml", "HTML"),
+    (".cshtml", "HTML"), (".hxml", "HXML"), (".hc", "HolyC"),
+    (".ijm", "ImageJ Macro"), (".jcl", "JCL"), (".j", "Jasmin"),
+    (".jte", "Java Template Engine"), (".mps", "JetBrains MPS"),
+    (".jison", "Yacc"), (".jisonlex", "Lex"),
+    (".brd", "KiCad Legacy Layout"), (".kicad_sch", "KiCad Schematic"),
+    (".kit", "Kit"), (".livecodescript", "LiveCode Script"),
+    (".lagda", "Agda"), (".mlir", "MLIR"), (".maxpat", "Max"),
+    (".sln", "Microsoft Visual Studio Solution"), (".mint", "Mint"),
+    (".mo", "Modelica"), (".mc", "Monkey C"), (".nasl", "NASL"),
+    (".neon", "NEON"), (".objdump", "ObjDump"),
+    (".plist", "OpenStep Property List"), (".opa", "Opa"), (".ox", "Ox"),
+    (".oxygene", "Oxygene"), (".pasm", "Parrot Assembly"),
+    (".pir", "Parrot Internal Representation"), (".pep", "Pep8"),
+    (".por", "Portugol"), (".pbt", "PowerBuilder"), (".praat", "Praat"),
+    (".rbs", "Ruby"), (".ron", "RON"), (".rpgle", "RPGLE"),
+    (".rnh", "RUNOFF"), (".regexp", "Regular Expression"), (".roc", "Roc"),
+    (".rg", "Rouge"), (".ston", "Smalltalk"), (".sl", "Slash"),
+    (".cocci", "SmPL"), (".sfd", "Spline Font Database"), (".sss", "CSS"),
+    (".rnw", "R"), (".8xp", "TI Program"), (".tcsh", "Shell"),
+    (".tea", "Tea"), (".texinfo", "Texinfo"), (".tl", "Type Language"),
+    (".upc", "C"), (".ms", "Assembly"), (".vdf", "Valve Data Format"),
+    (".snip", "Vim Snippet"), (".owl", "Web Ontology Language"),
+    (".ws", "Witcher Script"), (".xaml", "XAML"), (".xpl", "XProc"),
+    (".xs", "XS"), (".yul", "Yul"), (".zap", "ZAP"), (".zeek", "Zeek"),
+    (".ec", "eC"), (".mu", "mupad"), (".ooc", "ooc"),
 ]
 
 
 def q_cascade_wide(spark, sf_dir):
     # Widened-snapshot cascade check: pages synthesized from documents with a
-    # deterministic 128-extension cycle; a constant first line is prepended
+    # deterministic 287-extension cycle; a constant first line is prepended
     # so no row takes the shebang/modeline slow path (classification is then
     # a pure function of the extension, which the literal SQL CASE restates).
     n = len(_WIDE_EXT_LANGS)
@@ -355,6 +401,22 @@ _HEUR_CASES = [
     (".x", "%hook SpringBoard\n%end", "Logos"),
     (".x", "SECTIONS\n{\n . = 0x10000;\n}", "Linker Script"),
     (".yy", '{\n "rules": []\n}', "JSON"),
+    # batch-4 groups (scripts/widen_langs4.py): .al/.dsp/.i/.star arrive
+    # with their upstream disambiguation; .cl exercises the pre-existing
+    # group's Cool rule, dead until Cool joined the snapshot in batch 4.
+    (".al", "codeunit 50100 MyHandler\n{\n    trigger OnRun()\n"
+            "    begin\n    end;\n}", "AL"),
+    (".al", "use strict;\nmy $x = shift;\nprint $x;\n", "Perl"),
+    (".dsp", 'import("stdfaust.lib");\nprocess = os.osc(440);', "Faust"),
+    (".dsp", '# Microsoft Developer Studio Project File - Name="demo"\n',
+     "Microsoft Developer Studio Project"),
+    (".i", "%module demo\n%{\n#include <demo.h>\n%}\n", "SWIG"),
+    (".i", "\tmoveq\t#1,d0\n\trts\n", "Assembly"),
+    (".star", "data_demo\nloop_\n_atom_site.id\n1 2 3\n", "STAR"),
+    (".star", 'load("@rules_cc//cc:defs.bzl", "cc_library")\n', "Starlark"),
+    (".cl", "(defun hello (x)\n  (print x))", "Common Lisp"),
+    (".cl", "class Main inherits IO {\n  main() : Object { 0 }\n};", "Cool"),
+    (".cl", "__kernel void add(__global float* a) {}", "OpenCL"),
 ]
 
 
