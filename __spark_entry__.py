@@ -153,7 +153,7 @@ def q_cascade_extmap(spark, sf_dir):
     )
 
 
-# cascade_wide fixture: 287 extensions spanning the widened metadata
+# cascade_wide fixture: 290 extensions spanning the widened metadata
 # snapshot (VERDICT r01 #2), each a single-candidate ext whose classification
 # is text-independent (not shebang/modeline/heuristic-gated), pinned to its
 # expected language. The DuckDB oracle restates this list literally, so a
@@ -267,12 +267,14 @@ _WIDE_EXT_LANGS = [
     (".ws", "Witcher Script"), (".xaml", "XAML"), (".xpl", "XProc"),
     (".xs", "XS"), (".yul", "Yul"), (".zap", "ZAP"), (".zeek", "Zeek"),
     (".ec", "eC"), (".mu", "mupad"), (".ooc", "ooc"),
+    # batch-5 widening (scripts/widen_heuristics5.py)
+    (".ch", "xBase"), (".rakutest", "Raku"), (".cps", "Component Pascal"),
 ]
 
 
 def q_cascade_wide(spark, sf_dir):
     # Widened-snapshot cascade check: pages synthesized from documents with a
-    # deterministic 287-extension cycle; a constant first line is prepended
+    # deterministic 290-extension cycle; a constant first line is prepended
     # so no row takes the shebang/modeline slow path (classification is then
     # a pure function of the extension, which the literal SQL CASE restates).
     n = len(_WIDE_EXT_LANGS)
@@ -417,6 +419,25 @@ _HEUR_CASES = [
     (".cl", "(defun hello (x)\n  (print x))", "Common Lisp"),
     (".cl", "class Main inherits IO {\n  main() : Object { 0 }\n};", "Cool"),
     (".cl", "__kernel void add(__global float* a) {}", "OpenCL"),
+    # batch-5 groups (scripts/widen_heuristics5.py): Raku/Turing rules on
+    # .pl/.pm/.t were dead until their languages claimed the extensions;
+    # .cp/.g/.tst are new; .ts exercises the resurrected XML rule.
+    (".pl", "likes(alice, bob).\nhappy(X) :- likes(X, _).", "Prolog"),
+    (".pl", "use strict;\nmy @xs = (1, 2);\n", "Perl"),
+    (".pl", "use v6;\nsay 'hello';\n", "Raku"),
+    (".pm", "package Foo::Bar;\nsub new { bless {}, shift }\n1;\n", "Perl"),
+    (".pm", "use v6;\nunit module Foo;\n", "Raku"),
+    (".t", "use strict;\nuse Test::More tests => 1;\nok(1);\n", "Perl"),
+    (".t", "use v6;\nuse Test;\nok 1;\n", "Raku"),
+    (".t", "% compute\nvar total : int := 0\nput total\n", "Turing"),
+    (".cp", "MODULE Demo;\nEND Demo.\n", "Component Pascal"),
+    (".cp", "#include <vector>\nstd::vector<int> v;\n", "C++"),
+    (".g", 'BindGlobal("Foo", function(x) return x; end);', "GAP"),
+    (".g", "G21\nG0 X0 Y0\nG1 X10 F300\nM2\n", "G-code"),
+    (".tst", "gap> 1+1;\n2\n", "GAP"),
+    (".tst", "// Scilab test\ndisp(1)\n", "Scilab"),
+    (".ts", '<?xml version="1.0"?>\n<TS version="2.1"></TS>\n', "XML"),
+    (".ts", "import { x } from './x';\nexport const y = 1;\n", "TypeScript"),
 ]
 
 
