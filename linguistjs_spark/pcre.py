@@ -64,7 +64,14 @@ def _dequadratic(pat: str) -> str:
         # '#'-free prefix always witnesses the match — pure line-local form
         return r"^[^#\n]*:-"
     pat = pat.replace(r"(?:^|\n)\s*", r"(?:^|\n)[^\S\n]*")
-    return pat.replace(r"^\s*", r"^[^\S\n]*")
+    pat = pat.replace(r"^\s*", r"^[^\S\n]*")
+    # A bare UNANCHORED leading \s* (upstream's GAP rule for .g) is
+    # existence-irrelevant under search(): the empty-whitespace case
+    # witnesses every match position, so stripping it changes nothing —
+    # while keeping it makes search() consume the whole run at every start
+    # offset of a whitespace flood (O(n^2), ~27s on a 50KB newline page).
+    # Lazy \s*? is stripped identically (same zero-width argument).
+    return re.sub(r"^\\s\*\??(?![*+?{])", "", pat)
 
 
 def _first_consumed_can_be_ws(tokens) -> bool:
