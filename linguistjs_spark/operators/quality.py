@@ -31,51 +31,92 @@ def _nonblank(arr: Column) -> Column:
     return F.filter(arr, lambda x: ~x.rlike(BLANK_LINE_PAT))
 
 
+# Whole-text blank-LINE counter: BLANK_LINE_PAT anchored per line with
+# Java's UNIX_LINES flag (?d). (?d) is load-bearing for split-parity: the
+# frame's lines are ``split(text, \r?\n)`` segments, and without it Java's
+# MULTILINE ^/$ also anchor around lone \r, U+0085, U+2028, U+2029 — a
+# lone U+2028 inside a line would add a phantom blank. With (?d) the anchors
+# fire only at \n, and the \r of a \r\n terminator is consumed by the \r
+# in the blank class exactly like split leaves it on the segment.
+# (tests/test_unicode_parity.py fuzzes this equivalence vs the per-line
+# Python oracle, incl. \r / U+2028 / zero-width cases.)
+_BLANK_LINE_ANCHORED = "(?d)(?m)" + BLANK_LINE_PAT
+
+
+def _nonblank_count(text: Column) -> Column:
+    """count of non-blank lines of ``text`` = (1 + newline count) - blank
+    lines, all via regexp_count: three linear scans, no array
+    materialization, no interpreted per-line lambda (the previous
+    size(filter(split(...))) form paid one interpreted rlike per LINE —
+    ~8M regex invocations per 80k-page batch).
+
+    The correction term covers the anchored count's two blind spots
+    (disjoint, so a single +1): Java's MULTILINE ^ never matches after a
+    trailing terminator at end-of-input (unlike the split, which emits a
+    final "" segment there), so a terminator-final text has exactly one
+    uncounted — and by construction blank — last line; and Spark's
+    regexp_count short-circuits to 0 on EMPTY input, where the one split
+    segment is "" (blank)."""
+    total = F.regexp_count(text, F.lit(LINE_SPLIT_PAT)) + F.lit(1)
+    blank = F.regexp_count(text, F.lit(_BLANK_LINE_ANCHORED)) + F.when(
+        text.endswith("\n") | (F.length(text) == 0), F.lit(1)
+    ).otherwise(F.lit(0))
+    return total - blank
+
+
 def lines_struct(text: Column) -> Column:
     """struct(total, content, code) — mirrors src/index.ts:426-432.
 
-    The two split arrays are let-bound so each evaluates once per row:
-    filter/aggregate lambdas run interpreted (outside codegen CSE), so a
-    bare reuse of `all_lines` would re-split the text per reference."""
+    All three counts are whole-text regexp_count scans (see
+    _nonblank_count); ``stripped`` is let-bound so the two comment-strip
+    regexp_replace passes run once per row, not once per referencing
+    count."""
     from .dedup import _let
 
-    all_lines = F.split(text, LINE_SPLIT_PAT)
     stripped = F.regexp_replace(
         F.regexp_replace(text, LINE_COMMENT_PAT, ""), BLOCK_COMMENT_PAT, ""
     )
-    code_lines = F.split(stripped, LINE_SPLIT_PAT)
 
-    def build(b: Column) -> Column:
+    def build(s: Column) -> Column:
+        total = F.regexp_count(text, F.lit(LINE_SPLIT_PAT)) + F.lit(1)
         return F.struct(
-            F.size(b.getField("a")).cast("long").alias("total"),
-            F.size(_nonblank(b.getField("a"))).cast("long").alias("content"),
-            F.size(_nonblank(b.getField("c"))).cast("long").alias("code"),
+            total.cast("long").alias("total"),
+            _nonblank_count(text).cast("long").alias("content"),
+            _nonblank_count(s).cast("long").alias("code"),
         )
 
-    return _let(F.struct(all_lines.alias("a"), code_lines.alias("c")), build)
+    return _let(stripped, build)
 
 
 def words_col(text: Column) -> Column:
     return F.filter(F.split(text, WORD_SPLIT_PAT), lambda x: x != F.lit(""))
 
 
+# non-ws runs / single ws chars: regexp_count equivalents of the words_col
+# split (same [WORD_SPLIT_PAT] char class, so counts match the filtered
+# split exactly — every char is either a ws char or inside exactly one run)
+_WORD_RUN_PAT = "[^" + WORD_SPLIT_PAT[1:-2] + "]+"
+_WS_CHAR_PAT = WORD_SPLIT_PAT[:-1]
+
+
 def quality_struct(text: Column) -> Column:
     """struct(n_words, mean_word_len, symbol_ratio, dup_line_ratio) — the
-    same features as oracle.quality_features, computed JVM-side. The word
-    and nonblank-line arrays are let-bound (see lines_struct) so the text
-    splits once per row instead of once per referencing expression."""
+    same features as oracle.quality_features, computed JVM-side.
+
+    n_words / mean_word_len come from two whole-text regexp_count scans
+    (word-run count; ws-char count, so summed word chars = length - ws) —
+    no words array, no interpreted aggregate fold. Only dup_line_ratio
+    still materializes an array (array_distinct needs the actual lines);
+    it is let-bound so the split+filter runs once per row."""
     from .dedup import _let
 
-    words = words_col(text)
     lines = _nonblank(F.split(text, LINE_SPLIT_PAT))
 
-    def build(b: Column) -> Column:
-        w = b.getField("w")
-        l = b.getField("l")
-        n_words = F.size(w).cast("long")
-        char_sum = F.aggregate(
-            w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        )
+    def build(l: Column) -> Column:
+        n_words = F.regexp_count(text, F.lit(_WORD_RUN_PAT)).cast("long")
+        char_sum = (
+            F.length(text) - F.regexp_count(text, F.lit(_WS_CHAR_PAT))
+        ).cast("long")
         mean_wl = F.when(n_words > 0, char_sum / n_words).otherwise(F.lit(0.0))
         sym_ratio = F.when(
             F.length(text) > 0,
@@ -93,7 +134,7 @@ def quality_struct(text: Column) -> Column:
             dup_ratio.alias("dup_line_ratio"),
         )
 
-    return _let(F.struct(words.alias("w"), lines.alias("l")), build)
+    return _let(lines, build)
 
 
 def quality_drop_reason_col(

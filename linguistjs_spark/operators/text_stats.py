@@ -10,7 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..oracle import WORD_SPLIT_PAT
-from .quality import quality_struct, words_col
+from .quality import _WORD_RUN_PAT, quality_struct
 from .scrub import nl_lang_col
 
 # BPE-ish subword proxy: runs of word chars, digits, or single punctuation —
@@ -19,8 +19,9 @@ BPE_TOKEN_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count (exact words)."""
-    return F.size(words_col(text)).cast("long")
+    """Whitespace token count (exact words): one regexp_count of non-ws
+    runs — same value as size(words_col(text)) without the array."""
+    return F.regexp_count(text, F.lit(_WORD_RUN_PAT)).cast("long")
 
 
 def bpe_token_count_col(text: Column) -> Column:
