@@ -164,7 +164,7 @@ _WIDE_EXT_LANGS = [
     (".clj", "Clojure"), (".hs", "Haskell"), (".erl", "Erlang"),
     (".exs", "Elixir"), (".lex", "Lex"), (".elm", "Elm"), (".zig", "Zig"),
     (".nim", "Nim"), (".jl", "Julia"), (".lua", "Lua"), (".toml", "TOML"),
-    (".yml", "YAML"), (".yaml", "YAML"), (".json", "JSON"), (".xml", "XML"),
+    (".xml", "XML"),
     (".css", "CSS"), (".scss", "SCSS"), (".less", "Less"), (".sass", "Sass"),
     (".vue", "Vue"), (".svelte", "Svelte"), (".muf", "Forth"),
     (".proto", "Protocol Buffer"), (".graphql", "GraphQL"), (".ini", "INI"),
@@ -202,7 +202,7 @@ _WIDE_EXT_LANGS = [
     (".vtl", "Velocity Template Language"), (".vtt", "WebVTT"),
     # batch-2 widening (scripts/widen_snapshot2.py)
     (".mojo", "Mojo"), (".astro", "Astro"), (".kdl", "KDL"),
-    (".rexx", "REXX"), (".moo", "Mercury"), (".pod", "Pod"),
+    (".rexx", "REXX"), (".moo", "Mercury"),
     (".red", "Red"), (".self", "Self"), (".boo", "Boo"), (".x10", "X10"),
     (".rsh", "RenderScript"), (".ring", "Ring"), (".ik", "Ioke"),
     (".opal", "Opal"), (".pogo", "PogoScript"), (".shen", "Shen"),
@@ -223,14 +223,14 @@ _WIDE_EXT_LANGS = [
     (".dlm", "IDL"), (".pri", "QMake"),
     # batch-4 widening (scripts/widen_langs4.py): unique-ext languages of
     # the 580-language snapshot. Group-bearing children pin their COLLAPSED
-    # parent label (.bib->TeX, .ebuild->Shell, .rbs->Ruby, .ms->Assembly...)
+    # parent label (.bib->TeX, .ebuild->Shell, .rbs->Ruby...)
     # so these rows double as C7 group-collapse pins. Binary-filtered exts
     # (.snap .rtf .stl .xbm .xpm) are deliberately absent: they classify
     # keep=false and would vanish from the rollup.
     (".bsl", "1C Enterprise"), (".2da", "2-Dimensional Array"),
     (".asddls", "ABAP CDS"), (".aidl", "AIDL"), (".als", "Alloy"),
     (".apib", "API Blueprint"), (".agc", "Apollo Guidance Computer"),
-    (".applescript", "AppleScript"), (".arc", "Arc"), (".asy", "Asymptote"),
+    (".applescript", "AppleScript"), (".arc", "Arc"),
     (".aug", "Augeas"), (".avdl", "Avro IDL"), (".befunge", "Befunge"),
     (".bib", "TeX"), (".bsv", "Bluespec"), (".bpl", "Boogie"),
     (".mss", "CartoCSS"), (".click", "Click"), (".soy", "Closure Templates"),
@@ -250,9 +250,9 @@ _WIDE_EXT_LANGS = [
     (".kit", "Kit"), (".livecodescript", "LiveCode Script"),
     (".lagda", "Agda"), (".mlir", "MLIR"), (".maxpat", "Max"),
     (".sln", "Microsoft Visual Studio Solution"), (".mint", "Mint"),
-    (".mo", "Modelica"), (".mc", "Monkey C"), (".nasl", "NASL"),
+    (".mo", "Modelica"), (".nasl", "NASL"),
     (".neon", "NEON"), (".objdump", "ObjDump"),
-    (".plist", "OpenStep Property List"), (".opa", "Opa"), (".ox", "Ox"),
+    (".opa", "Opa"), (".ox", "Ox"),
     (".oxygene", "Oxygene"), (".pasm", "Parrot Assembly"),
     (".pir", "Parrot Internal Representation"), (".pep", "Pep8"),
     (".por", "Portugol"), (".pbt", "PowerBuilder"), (".praat", "Praat"),
@@ -262,13 +262,20 @@ _WIDE_EXT_LANGS = [
     (".cocci", "SmPL"), (".sfd", "Spline Font Database"), (".sss", "CSS"),
     (".rnw", "R"), (".8xp", "TI Program"), (".tcsh", "Shell"),
     (".tea", "Tea"), (".texinfo", "Texinfo"), (".tl", "Type Language"),
-    (".upc", "C"), (".ms", "Assembly"), (".vdf", "Valve Data Format"),
+    (".upc", "C"), (".vdf", "Valve Data Format"),
     (".snip", "Vim Snippet"), (".owl", "Web Ontology Language"),
     (".ws", "Witcher Script"), (".xaml", "XAML"), (".xpl", "XProc"),
     (".xs", "XS"), (".yul", "Yul"), (".zap", "ZAP"), (".zeek", "Zeek"),
     (".ec", "eC"), (".mu", "mupad"), (".ooc", "ooc"),
     # batch-5 widening (scripts/widen_heuristics5.py)
     (".ch", "xBase"), (".rakutest", "Raku"), (".cps", "Component Pascal"),
+    # batch-6 backfill: .json/.yaml/.yml/.pod/.asy/.mc/.plist/.ms moved OUT
+    # of this text-independent list when widen_heuristics6 gave them content
+    # disambiguation groups (their classification now depends on doc text);
+    # replaced with still-single-candidate exts of the 603-language snapshot
+    (".abap", "ABAP"), (".abnf", "ABNF"), (".ada", "Ada"), (".apl", "APL"),
+    (".au3", "AutoIt"), (".bats", "Shell"), (".bzl", "Starlark"),
+    (".cairo", "Cairo"),
 ]
 
 
@@ -438,6 +445,73 @@ _HEUR_CASES = [
     (".tst", "// Scilab test\ndisp(1)\n", "Scilab"),
     (".ts", '<?xml version="1.0"?>\n<TS version="2.1"></TS>\n', "XML"),
     (".ts", "import { x } from './x';\nexport const y = 1;\n", "TypeScript"),
+    # batch-6 groups (scripts/widen_heuristics6.py): OpenAPI/MiniYAML over
+    # .json/.yaml, man-page suffixes, 68k vs gas .s, plus the repaired .pod
+    # (fallback Pod, was dead-Perl) and .inc (SQL claims the ext upstream).
+    # Heuristic winners keep their RAW language name (src/index.ts:331-336
+    # assigns the rule's language, bypassing group collapse).
+    (".bas", '#include "stdio.bi"\nPrint "hi"', "FreeBASIC"),
+    (".bas", '10 PRINT "HELLO"\n20 GOTO 10', "BASIC"),
+    (".bas", 'Attribute VB_Name = "Module1"\nSub Main()\nEnd Sub', "VBA"),
+    (".s", "\tmove.l #1,d0\n\trts\n", "Motorola 68K Assembly"),
+    (".m4", "AC_INIT([demo], [1.0])\nAC_PREREQ([2.69])\n", "M4Sugar"),
+    (".m4", "dnl demo macros\ndefine(foo, bar)\n", "M4"),
+    (".plt", ":- module(demo, []).\nfoo(1).\n", "Prolog"),
+    (".plt", "set terminal png\nplot sin(x)\n", "Gnuplot"),
+    (".plist", '<?xml version="1.0"?>\n<plist version="1.0"/>',
+     "XML Property List"),
+    (".plist", "{ foo = bar; }\n", "OpenStep Property List"),
+    (".qs", "namespace Demo {\n    operation Main() : Unit {}\n}", "Q#"),
+    (".qs", "var x = Math.abs(-1);\n", "Qt Script"),
+    (".res", "let add = (a, b) => a + b\n", "ReScript"),
+    (".res", '<?xml version="1.0"?>\n<resources/>', "XML"),
+    (".srt", ";; SRecode template\n;; demo\n", "SRecode Template"),
+    (".srt", "1\n00:00:01,000 --> 00:00:02,000\nHello\n", "SubRip Text"),
+    (".json", '{"swagger": "2.0", "info": {}}', "OASv2-json"),
+    (".json", '{"openapi": "3.1.0"}', "OASv3-json"),
+    (".json", '{"a": 1}', "JSON"),
+    (".yaml", 'swagger: "2.0"\ninfo: {}\n', "OASv2-yaml"),
+    (".yaml", "Actor:\n\tHealth:\n\t\tHP: 100\n", "MiniYAML"),
+    (".yml", "openapi: 3.0.0\ninfo: {}\n", "OASv3-yaml"),
+    (".yml", "key: value\nlist:\n  - a\n", "YAML"),
+    (".asy", "SymbolType BLOCK\nLINE Normal 0 0\n", "LTspice Symbol"),
+    (".asy", "size(200);\ndraw(unitcircle);\n", "Asymptote"),
+    (".bf", "using System;\nclass Program {}\n", "Beef"),
+    (".bf", 'fprintf(stdout, "hi");\n', "HyPhy"),
+    (".bf", "++[>+>+<<-]\n", "Brainfuck"),
+    (".bs", "<pre class=metadata>\nTitle: Spec\n</pre>\n", "Bikeshed"),
+    (".bs", "package Demo where\n", "Bluespec BH"),
+    (".bs", 'sub main()\n  print "hi"\nend sub\n', "BrighterScript"),
+    (".builds", '<?xml version="1.0"?>\n<Project/>\n', "XML"),
+    (".builds", "plain build log text\n", "Text"),
+    (".csl", '<?xml version="1.0"?>\n<style/>\n', "XML"),
+    (".csl", "StormEvents | take 10\n", "Kusto"),
+    (".mc", "MessageId=0x1\nSymbolicName=MSG_OK\n", "Win32 Message File"),
+    (".mc", "dnl config\nchangequote([,])\n", "M4"),
+    (".mc", "import Toybox.WatchUi;\nclass App {}\n", "Monkey C"),
+    (".frm", "Begin {C62A69F0-16DC-11CE-9E98-00AA00574A4F} UserForm1\n",
+     "VBA"),
+    (".frm", "Begin VB.Form Form1\n", "Visual Basic 6.0"),
+    (".ms", ".TH FOO 1\n", "Roff"),
+    (".ms", ".globl main\nmain:\n  ret\n", "Unix Assembly"),
+    (".ms", 'fn hello = ( print "hi" )\n', "MAXScript"),
+    (".sw", "contract;\nfn main() {}\n", "Sway"),
+    (".sw", '<?xml version="1.0"?>\n<sw/>\n', "XML"),
+    (".tsp", 'import "@typespec/http";\nmodel Pet {}\n', "TypeSpec"),
+    (".tsp", "NAME : demo\nTYPE : TSP\nDIMENSION : 3\n", "TSPLIB data"),
+    (".typ", '<?xml version="1.0"?>\n<types/>\n', "XML"),
+    (".typ", "#set page(width: 10cm)\nHello\n", "Typst"),
+    (".rno", ".! comment\n.end lit\n", "RUNOFF"),
+    (".rno", '.\\" comment line\n', "Roff"),
+    (".vhost", "server {\n  listen 80;\n}\n", "Nginx"),
+    (".vhost", "<VirtualHost *:80>\n</VirtualHost>\n", "ApacheConf"),
+    (".1", ".TH LS 1\n", "Roff Manpage"),
+    (".man", ".Dt LS 1\n", "Roff Manpage"),
+    (".3", ".nr PS 10\n", "Roff"),
+    (".pod", "=begin pod\nsome text\n=end pod\n", "Pod 6"),
+    (".pod", "=head1 NAME\ndemo - a thing\n", "Pod"),
+    (".inc", "SELECT id FROM users;\n", "SQL"),
+    (".inc", "<?php\necho 1;\n", "PHP"),
 ]
 
 
