@@ -22,6 +22,25 @@ import time
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
+# Allocator policy for the python UDF workers (must be in the env BEFORE the
+# JVM starts — local-mode workers inherit it). The sandbox guest runs with
+# free-page reporting to the hypervisor (page_reporting_order=11 on the
+# kernel cmdline): any memory a process frees in >=8MB chunks is unmapped
+# host-side, and the next run's faults storm the kernel (measured 40-67%
+# host sys-time with ~0% user for 20-60s, 3-8x leg slowdowns). pyarrow's
+# default jemalloc pool decays dirty pages on a ~1s cadence — 16 workers x
+# 64MB Arrow batches = a constant release/refault churn that feeds exactly
+# that path. Routing Arrow through glibc (system pool) with trimming off and
+# a high mmap threshold makes workers KEEP their buffers: A/B over 8
+# alternating sessions (4 runs each, local[16], 80k docs) cut the
+# leg std-dev from ~5.5s to ~1.8s and the worst leg from 30.1s to 15.0s
+# (best-leg unchanged ~7-8s — this is tail-risk control, not speedup).
+# A real multi-executor cluster does not need these; they guard the
+# sandbox's measurement integrity.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # default 16, not 32: the sandbox host carries ~5-8 load of background work,
 # and local[32] + 32 python UDF workers oversubscribes it (measured local[32]
@@ -177,10 +196,64 @@ def run_pipeline_job(spark, sf_dir: str, replicate: int) -> int:
     return sum(r["n"] for r in rows)
 
 
+def _cpu_ticks():
+    """(user, sys, idle, steal) ticks from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            v = [int(x) for x in f.readline().split()[1:]]
+        return v[0] + v[1], v[2], v[3], v[7]
+    except Exception:
+        return None
+
+
+# Host-contamination telemetry for the LAST timed() call: the sandbox host
+# intermittently storms 40-60% kernel-side CPU (free-page reporting to the
+# hypervisor, page_reporting_order=11 on the guest cmdline) with ~0% user —
+# a leg caught in a storm reads 3-8x slow with our processes asleep. sys%
+# and steal% over the leg's window make contaminated legs visible instead
+# of silently poisoning round-over-round comparisons.
+LAST_LEG_HOST: dict = {}
+
+
 def timed(fn, *args):
+    c0 = _cpu_ticks()
     t0 = time.perf_counter()
     out = fn(*args)
-    return time.perf_counter() - t0, out
+    dt = time.perf_counter() - t0
+    c1 = _cpu_ticks()
+    if c0 and c1:
+        d = [b - a for a, b in zip(c0, c1)]
+        tot = sum(d) or 1
+        LAST_LEG_HOST.clear()
+        LAST_LEG_HOST.update(
+            {"sys_pct": round(100 * d[1] / tot, 1),
+             "steal_pct": round(100 * d[3] / tot, 1)}
+        )
+    return dt, out
+
+
+def warmup(spark, cores: int) -> None:
+    """Untimed warm-up leg, once per SparkSession: JVM JIT, codegen
+    compile, python worker spawn, parquet footers — AND the guest's
+    free-page-reporting fault-in storm (see the allocator note at the
+    top). The first job that allocates the full-size Arrow buffers
+    (8192 rows x ~8-32 KB per worker) faults every page against a
+    hypervisor that unmapped them host-side; measured cold legs of
+    75-165 s vs 37-41 s warm at local[16] with 178-1263 CPU-s of
+    kernel time vs ~5 s warm. A replicate=1 warm-up does NOT clear it:
+    80k/128 partitions = 39-row tasks never touch the big buffers, so
+    the storm lands on the first TIMED leg instead. This warm-up runs
+    REPLICATE rows through max(cores//2, 1) partitions so every worker
+    fills genuine 8192-row batches once. Steady-state is the honest
+    regime: a 100 TB job runs for hours and amortizes fault-in to zero.
+    """
+    global PARTS
+    saved = PARTS
+    PARTS = max(cores // 2, 1)
+    try:
+        run_pipeline_job(spark, SF_DIR, REPLICATE)
+    finally:
+        PARTS = saved
 
 
 def main() -> None:
@@ -194,8 +267,7 @@ def main() -> None:
 
     spark = make_spark(CPUS)
     try:
-        # warm-up: JVM, codegen compile, python workers, parquet footers
-        run_pipeline_job(spark, SF_DIR, 1)
+        warmup(spark, CPUS)
         # the docs file is one parquet split: repartition so the sketch
         # operators parallelise (same reasoning as bench_pages)
         docs = (
@@ -209,9 +281,18 @@ def main() -> None:
         # and re-runs only the post-shuffle stage — measured 0.08s for a
         # 240k-doc "run"). Fresh plans pay ~1.5-2s of Catalyst planning,
         # a per-job constant the input size must amortize.
+        # min-of-THREE, not two: a host storm (see LAST_LEG_HOST) lasts
+        # 20-60s and can wreck two consecutive legs; three gives one more
+        # chance for an uncontaminated window. host{} keeps the stats of
+        # the MIN leg — the number the round is judged on.
+        legs = []
         t_a, n_docs = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
+        legs.append((t_a, dict(LAST_LEG_HOST)))
         t_b, _ = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
-        t_pipe = min(t_a, t_b)
+        legs.append((t_b, dict(LAST_LEG_HOST)))
+        t_c, _ = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
+        legs.append((t_c, dict(LAST_LEG_HOST)))
+        t_pipe, pipe_host = min(legs, key=lambda x: x[0])
         queries["pipeline_rollup"] = round(t_pipe, 3)
 
         # reference-comparable workload: the classification cascade alone
@@ -287,19 +368,23 @@ def main() -> None:
     # amortises; steady-state throughput is the number that matters at
     # 10^12 docs).
     t_by_cores = {}
+    host_by_cores: dict = {}
     n_scale_docs = None
     pair_ns = sorted({SCALE_N, SCALE_N * 2})
     for cores in sorted({n for p in pair_ns for n in (p, p * 4)}):
         s = make_spark(cores)
         try:
-            run_pipeline_job(s, SF_DIR, 1)  # warm-up: jvm + codegen cache
+            warmup(s, cores)  # untimed: jvm + codegen + buffer fault-in
             # Fresh job per timed run (see pipeline_rollup note: shuffle
             # reuse makes re-collects meaningless). min-of-two because the
             # host's background load comes in bursts long enough to wreck
             # one leg (observed a spurious efficiency of 1.46 once).
             t1, n_scale_docs = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
+            h1 = dict(LAST_LEG_HOST)
             t2, _ = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
+            h2 = dict(LAST_LEG_HOST)
             t_by_cores[cores] = min(t1, t2)
+            host_by_cores[cores] = h1 if t1 <= t2 else h2
         finally:
             s.stop()
 
@@ -314,6 +399,8 @@ def main() -> None:
             "docs_per_sec_n": round(n_scale_docs / t_n, 1),
             "docs_per_sec_4n": round(n_scale_docs / t_4n, 1),
             "efficiency": round((t_n / t_4n) / 4, 3),
+            "host_n": host_by_cores.get(n, {}),
+            "host_4n": host_by_cores.get(n * 4, {}),
         }
 
     total = round(sum(queries.values()), 3)
@@ -332,6 +419,7 @@ def main() -> None:
                 "n_docs_pipeline": n_docs,
                 "n_docs_raw": n_raw,
                 "docs_per_sec": round(n_docs / t_pipe, 1),
+                "pipeline_host": pipe_host,
                 "scaling": pair_stats(SCALE_N),
                 "scaling_pairs": [pair_stats(n) for n in pair_ns],
             }
