@@ -197,12 +197,12 @@ _WIDE_EXT_LANGS = [
     (".slim", "Slim"), (".smithy", "Smithy"), (".sml", "Standard ML"),
     (".sp", "SourcePawn"), (".sparql", "SPARQL"), (".stan", "Stan"),
     (".styl", "Stylus"), (".thrift", "Thrift"), (".tla", "TLA"),
-    (".ttl", "Turtle"), (".twig", "Twig"), (".uc", "UnrealScript"),
+    (".sj", "Objective-J"), (".twig", "Twig"), (".uc", "UnrealScript"),
     (".ur", "UrWeb"), (".vb", "Visual Basic .NET"), (".vbs", "VBScript"),
     (".vtl", "Velocity Template Language"), (".vtt", "WebVTT"),
     # batch-2 widening (scripts/widen_snapshot2.py)
     (".mojo", "Mojo"), (".astro", "Astro"), (".kdl", "KDL"),
-    (".rexx", "REXX"), (".moo", "Mercury"),
+    (".rexx", "REXX"), (".x68", "Assembly"),
     (".red", "Red"), (".self", "Self"), (".boo", "Boo"), (".x10", "X10"),
     (".rsh", "RenderScript"), (".ring", "Ring"), (".ik", "Ioke"),
     (".opal", "Opal"), (".pogo", "PogoScript"), (".shen", "Shen"),
@@ -243,7 +243,7 @@ _WIDE_EXT_LANGS = [
     (".tres", "Godot Resource"), (".grace", "Grace"), (".ecr", "HTML"),
     (".eex", "HTML"), (".erb", "HTML"), (".phtml", "HTML"),
     (".cshtml", "HTML"), (".hxml", "HXML"), (".hc", "HolyC"),
-    (".ijm", "ImageJ Macro"), (".jcl", "JCL"), (".j", "Jasmin"),
+    (".ijm", "ImageJ Macro"), (".jcl", "JCL"), (".tmlanguage", "XML"),
     (".jte", "Java Template Engine"), (".mps", "JetBrains MPS"),
     (".jison", "Yacc"), (".jisonlex", "Lex"),
     (".brd", "KiCad Legacy Layout"), (".kicad_sch", "KiCad Schematic"),
@@ -512,6 +512,24 @@ _HEUR_CASES = [
     (".pod", "=head1 NAME\ndemo - a thing\n", "Pod"),
     (".inc", "SELECT id FROM users;\n", "SQL"),
     (".inc", "<?php\necho 1;\n", "PHP"),
+    # batch 7 (widen_heuristics7.py)
+    (".b", "+++>+>+<[-]\n", "Brainfuck"),
+    (".b", "implement Hello;\ninclude \"sys.m\";\n", "Limbo"),
+    (".j", "@import <Foundation/CPObject.j>\n@implementation App\n@end\n",
+     "Objective-J"),
+    (".j", ".class public Hello\n.super java/lang/Object\n", "Jasmin"),
+    (".moo", ":- module hello.\n:- interface.\n", "Mercury"),
+    (".moo", "@program foo:bar\nplayer:tell(\"hi\");\n", "Moocode"),
+    (".nu", "def main [] {\n  echo hi\n}\n", "Nushell"),
+    (".nu", '(puts "hello")\n', "Nu"),
+    (".scm", '((identifier) @name (#eq? @name "x"))\n', "Tree-sitter Query"),
+    (".scm", "(define (square x) (* x x))\n", "Scheme"),
+    (".ttl", "@prefix dc: <http://purl.org/dc/terms/> .\n", "Turtle"),
+    (".ttl", "connect 'host:22 /ssh'\nsendln 'ls'\nwait '$'\n",
+     "Tera Term macro"),
+    (".mask", "%YAML 1.1\n%TAG !u! tag:unity3d.com,2011:\n",
+     "Unity3D Asset"),
+    (".mask", ".page > .content {\n  h4 > 'Title'\n}\n", "Mask"),
 ]
 
 
