@@ -250,7 +250,7 @@ _WIDE_EXT_LANGS = [
     (".kit", "Kit"), (".livecodescript", "LiveCode Script"),
     (".lagda", "Agda"), (".mlir", "MLIR"), (".maxpat", "Max"),
     (".sln", "Microsoft Visual Studio Solution"), (".mint", "Mint"),
-    (".mo", "Modelica"), (".nasl", "NASL"),
+    (".qmd", "RMarkdown"), (".nasl", "NASL"),
     (".neon", "NEON"), (".objdump", "ObjDump"),
     (".opa", "Opa"), (".ox", "Ox"),
     (".oxygene", "Oxygene"), (".pasm", "Parrot Assembly"),
@@ -530,6 +530,13 @@ _HEUR_CASES = [
     (".mask", "%YAML 1.1\n%TAG !u! tag:unity3d.com,2011:\n",
      "Unity3D Asset"),
     (".mask", ".page > .content {\n  h4 > 'Title'\n}\n", "Mask"),
+    # batch 8 (widen_langs8.py)
+    (".mo", "actor Main {\n  public func greet() {};\n}\n", "Motoko"),
+    (".mo", "model Pendulum\n  Real x;\nend Pendulum;\n", "Modelica"),
+    (".rsc", "/interface bridge\nadd name=br0\n", "RouterOS Script"),
+    (".rsc", "module Demo\nimport IO;\n", "Rascal"),
+    (".cls", "public with sharing class AccountCtrl {\n}\n", "Apex"),
+    (".ncl", "begin\n  f = addfile(\"in.nc\", \"r\")\nend\n", "NCL"),
 ]
 
 

@@ -14,7 +14,9 @@ Java regexes get a (?U) prefix so \\b/\\w are unicode like Python's re.
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -188,11 +190,17 @@ def fasttext_nl_lang_col(text: Column, model_path: str):
     except ImportError:
         return None
 
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # the Iterator[...] hints are load-bearing: they select the
+    # ITERATOR_OF_SERIES eval type (one model load per worker, amortized
+    # over all batches); without them pyspark treats the generator as a
+    # SERIES_TO_SERIES body and rejects it at runtime — caught by
+    # tests/test_fasttext_hook.py the first time the hook actually ran.
+    # `Iterator`/`pd` must be module-level names: postponed annotations
+    # are evaluated against the module globals by pyspark's hint resolver.
     @pandas_udf("string")
-    def ft_udf(batches):
+    def ft_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         import fasttext
 
         model = fasttext.load_model(model_path)
