@@ -537,6 +537,18 @@ _HEUR_CASES = [
     (".rsc", "module Demo\nimport IO;\n", "Rascal"),
     (".cls", "public with sharing class AccountCtrl {\n}\n", "Apex"),
     (".ncl", "begin\n  f = addfile(\"in.nc\", \"r\")\nend\n", "NCL"),
+    # batch 9 (widen_langs9.py)
+    (".sch", '<?xml version="1.0"?>\n<eagle version="9.6.2">\n</eagle>\n',
+     "Eagle"),
+    (".sch", "EESchema Schematic File Version 4\nEELAYER 30 0\n",
+     "KiCad Schematic"),
+    (".sch", '<?xml version="1.0"?>\n<schematic name="s1"/>\n', "XML"),
+    (".brd", '<?xml version="1.0"?>\n<eagle version="9.6.2"/>\n', "Eagle"),
+    (".brd", "PCBNEW-Board Version 2\n$GENERAL\n", "KiCad Legacy Layout"),
+    (".cue", 'FILE "album.wav" WAVE\n  TRACK 01 AUDIO\n'
+     "    INDEX 01 00:00:00\n", "Cue Sheet"),
+    (".cue", 'package example\n\nmsg: "hello"\n', "CUE"),
+    (".e", "def greeter := when (x) -> { x }\n", "E"),
 ]
 
 
