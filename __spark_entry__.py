@@ -549,6 +549,12 @@ _HEUR_CASES = [
      "    INDEX 01 00:00:00\n", "Cue Sheet"),
     (".cue", 'package example\n\nmsg: "hello"\n', "CUE"),
     (".e", "def greeter := when (x) -> { x }\n", "E"),
+    # batch 10 (widen_heuristics10.py)
+    (".m", "(* ::Package:: *)\nf[x_] := x^2\n", "Mathematica"),
+    (".m", "% plot a sine\nx = 0:0.1:pi;\n", "MATLAB"),
+    (".frag", "#version 330 core\nout vec4 color;\nvoid main() {}\n",
+     "GLSL"),
+    (".frag", "'use strict';\nmodule.exports = 1;\n", "JavaScript"),
 ]
 
 
