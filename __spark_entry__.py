@@ -1236,6 +1236,59 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_duplicated_spans(spark, sf_dir):
+    # Span-level exact-substring dedup stats (Lee et al. 2022, fixed-length
+    # distributed variant): planted full copies (doc_id+1M) guarantee known
+    # duplicated spans; the oracle restates the whole computation in the
+    # string domain (hash-domain == string-domain counts absent 64-bit
+    # collisions, same stance as jaccard_pairs).
+    docs = _docs(spark, sf_dir)
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return DD.duplicated_span_stats(corpus, n=20).orderBy("doc_id")
+
+
+def q_dsir_scores(spark, sf_dir):
+    # DSIR importance scores (Xie et al. 2023): hashed unigram+bigram
+    # models fit on a target slice (src0/src1) vs the whole corpus, then a
+    # deterministic ordered-fold log-ratio score per doc. The oracle twin
+    # refits in python from the same parquet (identical integer counts ->
+    # identical IEEE weights) and rescores in the same fold order, so the
+    # double-typed score column compares hash-exact.
+    from linguistjs_spark.operators import training_select as TSEL
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    weights = TSEL.fit_dsir_weights(target, docs, buckets=1024)
+    return TSEL.dsir_scores(docs, weights).orderBy("doc_id")
+
+
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (Abbas et al. 2023): kmeans-bucketed intra-cluster cosine
+    # dedup. Random embeddings have no true semantic dups, so plant
+    # scaled copies (cosine-preserving, power-of-two factor => exact in
+    # both engines) of vec_id < 8; the query must drop exactly those.
+    emb = _emb(spark, sf_dir)
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    union = emb.select("vec_id", "embedding").unionByName(planted)
+    cents = SIM.ivf_centroids(union, n_centroids=8)
+    return (
+        SIM.semantic_dedup(union, cents, threshold=0.95)
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("centroid").cast("long").alias("centroid"),
+            "keep",
+            F.col("dup_of").cast("long").alias("dup_of"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_bytes_rollup": q_lang_bytes_rollup,
@@ -1285,6 +1338,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "near_dup_clusters": q_near_dup_clusters,
         "lang_mismatch": q_lang_mismatch,
+        "duplicated_spans": q_duplicated_spans,
+        "dsir_scores": q_dsir_scores,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1882,6 +1938,83 @@ FROM lab
 """
 
 
+# string-domain restatement of duplicated_span_stats over the same planted
+# corpus as q_duplicated_spans (hash-domain == string-domain counts absent
+# 64-bit collisions; NULL/short texts fall back to one whole-text span,
+# coalesced to '' so the string join matches the hash domain's non-null key)
+_DUPLICATED_SPANS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 15
+), w AS (
+  SELECT doc_id, list_filter(string_split(trim(lower(regexp_replace(
+      text, '[ \t\r\n\f\x0B]+', ' ', 'g'))), ' '), x -> x <> '') AS words
+  FROM corpus
+), s AS (
+  SELECT doc_id, unnest(CASE WHEN len(words) >= 20
+       THEN list_distinct(list_transform(range(1, len(words) - 18),
+            i -> array_to_string(words[i:i+19], ' ')))
+       ELSE [coalesce(array_to_string(words, ' '), '')] END) AS span
+  FROM w
+), f AS (SELECT span, COUNT(*) AS df FROM s GROUP BY span)
+SELECT s.doc_id, COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(ROUND(1000000.0 * SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)
+            / COUNT(*)) AS BIGINT) AS dup_ratio_ppm
+FROM s JOIN f USING (span)
+GROUP BY s.doc_id
+"""
+
+
+def _dsir_oracle_sql() -> str:
+    # python twin refit + rescore: identical integer counts -> identical
+    # IEEE weights -> identical ordered-fold doubles (no tolerance needed)
+    import duckdb
+
+    from linguistjs_spark.operators.training_select import (
+        twin_features, twin_fit_weights, twin_score)
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text, source FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    weights = twin_fit_weights(
+        [t for _, t, s in rows if s in ("src0", "src1")],
+        [t for _, t, _ in rows],
+        1024,
+    )
+    vals = [
+        (int(d), len(twin_features(t, 1024)), twin_score(t, weights))
+        for d, t, _ in rows
+    ]
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_feats, "
+        "CAST(s AS DOUBLE) AS dsir_score FROM (VALUES {values}) t(d, n, s)",
+        "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BIGINT) n_feats, "
+        "CAST(NULL AS DOUBLE) dsir_score WHERE FALSE",
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    from linguistjs_spark.ann_twin import semantic_dedup_expected
+
+    rows = semantic_dedup_expected(_ORACLE_SF_DIR, n_centroids=8, threshold=0.95)
+    vals = ", ".join(
+        f"({v}, {c}, {str(bool(k)).upper()}, "
+        f"{d if d is not None else 'NULL'})"
+        for v, c, k, d in rows
+    )
+    return (
+        "SELECT CAST(v AS BIGINT) AS vec_id, CAST(c AS BIGINT) AS centroid, "
+        "CAST(k AS BOOLEAN) AS keep, CAST(d AS BIGINT) AS dup_of "
+        f"FROM (VALUES {vals}) t(v, c, k, d)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_bytes_rollup": (
@@ -2087,6 +2220,9 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": _REPETITION_SQL,
         "c4_clean": _C4_CLEAN_SQL,
         "near_dup_clusters": _near_dup_clusters_sql(),
+        "duplicated_spans": _DUPLICATED_SPANS_SQL,
+        "dsir_scores": _dsir_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "blocked_domains": (
             "SELECT doc_id, lower(source) || '.example' AS domain "
             "FROM documents "

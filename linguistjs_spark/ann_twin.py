@@ -156,3 +156,43 @@ def simhash_pairs_expected(
             if d <= max_hamming:
                 out.append((a, b, d))
     return sorted(out)
+
+
+def semantic_dedup_expected(
+    sf_dir: str, n_centroids: int = 8, threshold: float = 0.95,
+    iters: int = 5, plant_below: int = 8, plant_offset: int = 1_000_000,
+    plant_scale: float = 1.25,
+) -> list[tuple[int, int, bool, int | None]]:
+    """similarity.semantic_dedup twin over the planted-near-dup corpus that
+    q_semantic_dedup builds (scaled copies of vec_id < plant_below at
+    id + plant_offset; the scale factor is a power-of-two fraction so the
+    planting multiplication is exact in both engines). Returns
+    (vec_id, centroid, keep, dup_of) rows, dup_of None when kept."""
+    emb = load_embeddings(sf_dir)
+    planted = [
+        (vid + plant_offset, [x * plant_scale for x in vec])
+        for vid, vec in emb if vid < plant_below
+    ]
+    allv = sorted(emb + planted)
+    # quantizer trains on the SAME union the query feeds the engine's
+    # ivf_centroids (init = lowest-id vectors, unaffected by high-id plants)
+    cents = _ivf_centroids_twin(allv, n_centroids, iters)
+    assigned = [
+        (vid, max(((_cosine(vec, cvec), cid) for cid, cvec in cents))[1], vec)
+        for vid, vec in allv
+    ]
+    by_cluster: dict[int, list[tuple[int, list[float]]]] = {}
+    for vid, cid, vec in assigned:
+        by_cluster.setdefault(cid, []).append((vid, vec))
+    dup_of: dict[int, int] = {}
+    for members in by_cluster.values():
+        members.sort()
+        for j in range(1, len(members)):
+            for i in range(j):
+                if _cosine(members[i][1], members[j][1]) >= threshold:
+                    dup_of[members[j][0]] = members[i][0]
+                    break
+    return [
+        (vid, cid, vid not in dup_of, dup_of.get(vid))
+        for vid, cid, _ in assigned
+    ]

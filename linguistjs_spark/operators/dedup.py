@@ -490,3 +490,59 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "large-star/small-star variant for deep-chain graphs"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup (fixed-length substring duplication)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 20
+) -> DataFrame:
+    """Per-document duplicated-span statistics: exact-substring duplication
+    at n-word-span granularity — the distributed counterpart of suffix-array
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"; their single-node suffix array finds arbitrary-
+    length repeats, the fixed-length n-gram formulation below is the
+    shuffle-friendly equivalent used by large-scale corpus pipelines).
+
+    A span is n consecutive normalized words; a doc's span is *duplicated*
+    when the same span also occurs in at least one other document (or twice
+    via distinct spans hashing together — collisions only over-count, which
+    is the conservative direction for a drop filter, expected rate
+    ~ total_spans^2 / 2^64). Docs shorter than n words contribute one
+    whole-text span (same fallback as `shingle_hashes`).
+
+    Returns (id, n_spans, n_dup_spans, dup_ratio_ppm) with n_spans counting
+    the doc's DISTINCT spans.
+
+    Scale shape: one projection builds distinct span hashes per doc (narrow,
+    all JVM-side array algebra), explode ships (8-byte hash, id) pairs, ONE
+    hash-groupBy with map-side combine computes document frequency, and the
+    flag rides back on a self-equi-join keyed on the same hash — AQE reuses
+    the aggregation's exchange, so text never shuffles and no stage carries
+    more than ~16 bytes/span. The final per-doc groupBy is the only other
+    exchange. No all-pairs anywhere.
+    """
+    spans = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingle_hashes(F.col(text_col), k=n)).alias("_span"),
+    )
+    freq = spans.groupBy("_span").agg(F.count("*").alias("_df"))
+    return (
+        spans.join(freq, "_span")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_df") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.lit(1000000.0) * F.col("n_dup_spans") / F.col("n_spans"))
+            .cast("long")
+            .alias("dup_ratio_ppm"),
+        )
+    )

@@ -292,3 +292,54 @@ def embedding_near_dup_pairs(
         "a", "b", cosine(F.col("va"), F.col("vb")).alias("score")
     )
     return scored.filter(F.col("score") >= threshold)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space
+    with the coarse quantizer, then inside each cluster drop every vector
+    that has a near-duplicate (cosine >= threshold) of higher priority —
+    priority = ascending id, the paper's keep-one-per-ε-group made
+    deterministic. Returns (id, centroid, keep, dup_of) for EVERY input
+    vector, dup_of = the smallest same-cluster near-dup id (NULL when kept).
+
+    Scale shape (the paper's own complexity argument): the pairwise check
+    is confined to intra-cluster self-joins — an equi-join on `centroid`
+    whose quadratic term is bounded by the largest cluster, controlled by
+    choosing k ~ n/target_cluster_size when training the quantizer. Nothing
+    all-pairs; the join key is the 4-byte centroid id; at 100 TB the index
+    is written partitioned by `centroid` so each task joins one cluster
+    locally. Asymmetric near-boundary pairs (split across clusters) are the
+    paper's documented recall loss — mitigation there and here is more/
+    overlapping probes, not a cross-cluster join."""
+    idx = with_ivf_buckets(embeddings, centroids, id_col, vec_col)
+    a, b = idx.alias("a"), idx.alias("b")
+    dup_of = (
+        a.join(
+            b,
+            (F.col("a.centroid") == F.col("b.centroid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) >= threshold)
+        .select(
+            F.col(f"b.{id_col}").alias("_dup"),
+            F.col(f"a.{id_col}").alias("_src"),
+        )
+        .groupBy("_dup")
+        .agg(F.min("_src").alias("dup_of"))
+    )
+    return (
+        idx.join(dup_of, idx[id_col] == dup_of["_dup"], "left")
+        .select(
+            F.col(id_col),
+            F.col("centroid"),
+            F.col("dup_of").isNull().alias("keep"),
+            F.col("dup_of"),
+        )
+    )

@@ -262,3 +262,66 @@ def test_near_dup_multiprobe_recovers_boundary_pair(spark, emb):
     got0 = {(r["a"], r["b"]) for r in SIM.embedding_near_dup_pairs(
         both, threshold=0.95, bits=bits, probe_hamming=0).collect()}
     assert (5, 1_000_005) not in got0
+
+
+def test_duplicated_span_stats_planted(spark, docs):
+    # a planted full copy duplicates every span of its source; an untouched
+    # unique long doc should not be 100% duplicated against this corpus
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") < 3).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    out = DD.duplicated_span_stats(corpus, n=20)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count() + 3
+    for i in range(3):
+        assert rows[i]["dup_ratio_ppm"] == 1_000_000
+        assert rows[i + 1_000_000]["n_spans"] == rows[i]["n_spans"]
+    # ratio bounds + distinct-span accounting hold everywhere
+    for r in rows.values():
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+
+
+def test_dsir_twin_parity_and_direction(spark, docs):
+    from linguistjs_spark.operators import training_select as TSEL
+
+    target = docs.filter(F.col("source").isin("src0", "src1"))
+    w = TSEL.fit_dsir_weights(target, docs, buckets=512)
+    rows = docs.select("doc_id", "text", "source").collect()
+    tw = TSEL.twin_fit_weights(
+        [r["text"] for r in rows if r["source"] in ("src0", "src1")],
+        [r["text"] for r in rows],
+        512,
+    )
+    assert tw == w  # identical integer counts -> identical IEEE doubles
+    scored = {r["doc_id"]: r for r in TSEL.dsir_scores(docs, w).collect()}
+    for r in rows:
+        exp = TSEL.twin_score(r["text"], tw)
+        assert scored[r["doc_id"]]["dsir_score"] == exp  # bit-exact fold
+    # direction: target-slice docs must average higher than the rest
+    t_scores = [scored[r["doc_id"]]["dsir_score"] for r in rows
+                if r["source"] in ("src0", "src1")]
+    o_scores = [scored[r["doc_id"]]["dsir_score"] for r in rows
+                if r["source"] not in ("src0", "src1")]
+    assert sum(t_scores) / len(t_scores) > sum(o_scores) / len(o_scores)
+
+
+def test_semantic_dedup_drops_planted_copies(spark, emb):
+    from linguistjs_spark.ann_twin import semantic_dedup_expected
+
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    union = emb.select("vec_id", "embedding").unionByName(planted)
+    cents = SIM.ivf_centroids(union, n_centroids=8)
+    got = [
+        (r["vec_id"], r["centroid"], r["keep"], r["dup_of"])
+        for r in SIM.semantic_dedup(union, cents, threshold=0.95)
+        .orderBy("vec_id").collect()
+    ]
+    assert got == semantic_dedup_expected(SF, n_centroids=8, threshold=0.95)
+    dropped = {v: d for v, _, k, d in got if not k}
+    # every planted copy lost to its original (cosine-preserving scale)
+    assert dropped == {i + 1_000_000: i for i in range(8)}
