@@ -347,6 +347,26 @@ def main() -> None:
         )
         queries["paragraph_dedup"] = round(t, 3)
 
+        # round-3 ops: span-level exact-substring dedup (explode + two
+        # hash exchanges) and DSIR fit+score (two count-aggs + native fold)
+        t, _ = timed(
+            lambda: DD.duplicated_span_stats(docs, n=20)
+            .agg(F.sum("n_spans"), F.sum("n_dup_spans")).collect()
+        )
+        queries["span_dedup"] = round(t, 3)
+
+        from linguistjs_spark.operators import training_select as TSEL
+
+        def _dsir_job():
+            w = TSEL.fit_dsir_weights(
+                docs.filter(F.col("source").isin("src0", "src1")), docs,
+                buckets=1024,
+            )
+            return TSEL.dsir_scores(docs, w).agg(F.sum("dsir_score")).collect()
+
+        t, _ = timed(_dsir_job)
+        queries["dsir_fit_score"] = round(t, 3)
+
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to
