@@ -555,6 +555,18 @@ _HEUR_CASES = [
     (".frag", "#version 330 core\nout vec4 color;\nvoid main() {}\n",
      "GLSL"),
     (".frag", "'use strict';\nmodule.exports = 1;\n", "JavaScript"),
+    # batch 11 (widen_langs11.py)
+    (".mod", "NEURON {\n    SUFFIX pas\n}\n", "NMODL"),
+    (".mod", "obj-m += hello.o\n", "Linux Kernel Module"),
+    (".r", "#include \"Types.r\"\nresource 'MENU' (128) {\n};\n", "Rez"),
+    (".t", "terra add(a : int)\n    return a\nend\n", "Terra"),
+    (".txt", "[Adblock Plus 2.0]\n||ads.example.com^\n",
+     "Adblock Filter List"),
+    (".txt", "*myplugin.txt*  Help for my plugin\n", "Vim Help File"),
+    (".txt", "meeting notes from tuesday\n", "Text"),
+    (".ncl", "let port = 8080 in\n{ port = port }\n", "Nickel"),
+    (".nas", "var pos = geo.aircraft_position();\n", "Nasal"),
+    (".nas", "section .text\n    mov eax, 1\n", "Assembly"),
 ]
 
 
