@@ -276,6 +276,17 @@ _WIDE_EXT_LANGS = [
     (".abap", "ABAP"), (".abnf", "ABNF"), (".ada", "Ada"), (".apl", "APL"),
     (".au3", "AutoIt"), (".bats", "Shell"), (".bzl", "Starlark"),
     (".cairo", "Cairo"),
+    # batch-11 widening (scripts/widen_langs11.py)
+    (".f90", "Fortran Free Form"), (".ics", "iCalendar"),
+    (".cds", "CAP CDS"), (".ispc", "ISPC"), (".d2", "D2"),
+    (".4gl", "Genero 4gl"), (".per", "Genero per"),
+    (".mligo", "CameLIGO"), (".omgrofl", "Omgrofl"),
+    (".sfv", "Simple File Verification"),
+    (".numpy", "Python"),  # group collapse NumPy -> Python
+    (".parrot", "Parrot"), (".yasnippet", "YASnippet"), (".edn", "edn"),
+    (".ha", "Hare"), (".pickle", "Pickle"), (".slang", "Slang"),
+    (".axs.erb", "NetLinx+ERB"), (".mms", "Module Management System"),
+    (".cil", "CIL"),
 ]
 
 
