@@ -1177,6 +1177,51 @@ def q_stratified_sample(spark, sf_dir):
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
 
 
+def q_training_mix(spark, sf_dir):
+    """End-to-end training-mix materialization as ONE composed plan:
+    exact-dedup winners (min-id per text fingerprint, a single window
+    shuffle — no second corpus scan) -> eval-set decontamination (13-gram
+    broadcast probe, same gram domain as `decontaminate`) -> deterministic
+    key-hash stratified sampling (same fractions/seed as
+    `stratified_sample`) -> per-lang (n_docs, bytes) rollup.
+
+    This is the workflow a reference user actually runs end to end
+    (reference: full analyse() pipeline, /root/reference/src/index.ts:100+
+    — scan->filter->classify->rollup composed in one pass); here each
+    stage keeps its at-scale shape (hash shuffle, broadcast probe,
+    shuffle-free sampling) and Catalyst pipelines them into one job. The
+    oracle restates all four stages as chained CTEs plus the xxhash64
+    sampling twin."""
+    import linguistjs_spark.operators.decontam as DCN
+    from linguistjs_spark.operators.sampling import stratified_sample
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    # 1. exact dedup: min doc_id wins per exact text (fingerprint groups;
+    #    never shuffles full text as the key)
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    winners = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    # 2. decontamination: bench grams drawn from the FULL corpus slice
+    #    (doc_id % 50 == 0, as in `decontaminate`); bench members are
+    #    self-contaminated, so the eval set drops out of the mix too
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    clean = DCN.contamination_flags(winners, bench, n=13).filter(
+        ~F.col("is_contaminated")
+    )
+    # 3. deterministic stratified sampling (retry/layout-stable)
+    sampled = stratified_sample(
+        clean, _SAMPLE_FRACTIONS, strata_col="lang", key_col="doc_id", seed=7
+    )
+    # 4. per-lang mix rollup
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("bytes"),
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     # Gopher top-2-gram repetition signal, doc-level. Pure double
     # arithmetic (count * len / len) — bit-identical across engines, so no
@@ -1355,6 +1400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "domain_rollup": q_domain_rollup,
         "stratified_sample": q_stratified_sample,
+        "training_mix": q_training_mix,
         "repetition_scores": q_repetition_scores,
         "blocked_domains": q_blocked_domains,
         "fitted_perplexity": q_fitted_perplexity,
@@ -1532,6 +1578,73 @@ def _stratified_sample_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS VARCHAR) lang "
         "WHERE FALSE",
     )
+
+
+def _training_mix_oracle_sql() -> str:
+    # Chained-CTE restatement of the composed pipeline: md5-partitioned
+    # min-id winners (same equivalence classes as the xxhash64 fingerprint
+    # absent collisions), the string-domain 13-gram contamination set
+    # (same shapes as _DECONTAMINATE_SQL), and the xxhash64 sampling twin
+    # as a VALUES relation of per-doc decisions (the decision depends only
+    # on (doc_id, lang), so it composes with any upstream filter).
+    import duckdb
+
+    from linguistjs_spark.hash_twin import spark_xxhash64
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, lang FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    fr = _SAMPLE_FRACTIONS
+    vals = [
+        (int(doc_id),)
+        for doc_id, lang in rows
+        if spark_xxhash64(int(doc_id), 7) % 1_000_000
+        < int(fr.get(lang, 0.0) * 1_000_000)
+    ]
+    sampled = _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id FROM (VALUES {values}) t(d)",
+        "SELECT CAST(NULL AS BIGINT) doc_id WHERE FALSE",
+    )
+    return r"""
+WITH winners AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), wds AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(lower(regexp_replace(
+             text, '[ \t\r\n\f\x0B]+', ' ', 'g'))), ' '),
+             x -> x <> '') AS words
+  FROM documents
+), shg AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 13
+              THEN list_distinct(list_transform(
+                   range(1, len(words) - 11),
+                   i -> array_to_string(words[i:i+12], ' ')))
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM wds
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM shg WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(sh) AS g FROM shg) grams
+  JOIN bench USING (g)
+), sampled AS (
+  """ + sampled + r"""
+)
+SELECT w.lang AS lang, COUNT(*) AS n_docs,
+       CAST(SUM(strlen(w.text)) AS BIGINT) AS bytes
+FROM winners w
+JOIN sampled s USING (doc_id)
+WHERE w.doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY w.lang
+"""
 
 
 def _html_extract_oracle_sql() -> str:
@@ -2238,6 +2351,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
+        "training_mix": _training_mix_oracle_sql(),
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,
