@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
 
@@ -366,6 +368,15 @@ def main() -> None:
 
         t, _ = timed(_dsir_job)
         queries["dsir_fit_score"] = round(t, 3)
+
+        # composed end-to-end mix: dedup winners -> decontam -> sample ->
+        # rollup in ONE job (the __spark_entry__ training_mix plan)
+        import __spark_entry__ as _E
+
+        t, _ = timed(
+            lambda: _E.q_training_mix(spark, SF_DIR).collect()
+        )
+        queries["training_mix"] = round(t, 3)
 
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
