@@ -407,15 +407,25 @@ def main() -> None:
         try:
             warmup(s, cores)  # untimed: jvm + codegen + buffer fault-in
             # Fresh job per timed run (see pipeline_rollup note: shuffle
-            # reuse makes re-collects meaningless). min-of-two because the
-            # host's background load comes in bursts long enough to wreck
-            # one leg (observed a spurious efficiency of 1.46 once).
+            # reuse makes re-collects meaningless). min-of-two, plus ONE
+            # storm retry: across 5 round-3 bench executions, 3 had
+            # exactly one scaling leg hit by a neighbor burst (steal 5-8%
+            # or sys 27% in the telemetry) lasting longer than two
+            # consecutive legs — a third attempt, taken only when the
+            # min leg's own telemetry says it was dirty, recovers the
+            # clean measurement without padding quiet runs.
+            legs = []
             t1, n_scale_docs = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
-            h1 = dict(LAST_LEG_HOST)
+            legs.append((t1, dict(LAST_LEG_HOST)))
             t2, _ = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
-            h2 = dict(LAST_LEG_HOST)
-            t_by_cores[cores] = min(t1, t2)
-            host_by_cores[cores] = h1 if t1 <= t2 else h2
+            legs.append((t2, dict(LAST_LEG_HOST)))
+            t_min, h_min = min(legs, key=lambda x: x[0])
+            if h_min.get("steal_pct", 0) > 3 or h_min.get("sys_pct", 0) > 5:
+                t3, _ = timed(run_pipeline_job, s, SF_DIR, SCALE_REPLICATE)
+                legs.append((t3, dict(LAST_LEG_HOST)))
+                t_min, h_min = min(legs, key=lambda x: x[0])
+            t_by_cores[cores] = t_min
+            host_by_cores[cores] = h_min
         finally:
             s.stop()
 
