@@ -578,6 +578,15 @@ _HEUR_CASES = [
     (".ncl", "let port = 8080 in\n{ port = port }\n", "Nickel"),
     (".nas", "var pos = geo.aircraft_position();\n", "Nasal"),
     (".nas", "section .text\n    mov eax, 1\n", "Assembly"),
+    # batch 12 (widen_langs12.py): upstream .inc membership
+    (".inc", "%macro PUSH_ALL 0\nsection .text\n", "Assembly"),
+    (".inc", "{$IFDEF FPC}\nprocedure Foo;\n{$ENDIF}\n", "Pascal"),
+    (".inc", "#declare Wood = texture { pigment { rgb 1 } }\n",
+     "POV-Ray SDL"),
+    (".inc", 'SRC_URI += "file://fix.patch"\n', "BitBake"),
+    (".inc", "#if defined _mylib_included\n#endinput\n#endif\n",
+     "SourcePawn"),
+    (".inc", 'script_name("Port scan");\nscript_id(99999);\n', "NASL"),
 ]
 
 
