@@ -1231,6 +1231,48 @@ def q_training_mix(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source plumbing (sources/warc.py), driver-verified: each
+    document becomes a one-record ISO-28500 segment (odd doc_ids as
+    CC-style gzip members), `pages_from_warc` parses the segments back
+    executor-side via mapInPandas, and the output is (url, html byte
+    length). The oracle restates the EXPECTED output directly from the
+    documents table (url pattern + text byte length) — it never touches
+    the WARC mechanism, so a parser/builder bug on either side flips the
+    hash."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from linguistjs_spark.sources.warc import (
+        build_warc_segment, pages_from_warc,
+    )
+
+    t0 = _dt.datetime(2026, 1, 1)
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+
+    def to_segments(batches):
+        for pdf in batches:
+            segs = [
+                build_warc_segment(
+                    [(
+                        f"https://{r.source}.example/doc/{r.doc_id}",
+                        t0,
+                        (r.text or "").encode("utf-8"),
+                    )],
+                    gzip_members=bool(r.doc_id % 2),
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame({"data": segs})
+
+    segments = docs.mapInPandas(to_segments, schema="data binary")
+    pages = pages_from_warc(spark, segments)
+    return pages.select(
+        "url", F.octet_length("html").cast("long").alias("n_bytes")
+    )
+
+
 def q_repetition_scores(spark, sf_dir):
     # Gopher top-2-gram repetition signal, doc-level. Pure double
     # arithmetic (count * len / len) — bit-identical across engines, so no
@@ -1410,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_rollup": q_domain_rollup,
         "stratified_sample": q_stratified_sample,
         "training_mix": q_training_mix,
+        "warc_roundtrip": q_warc_roundtrip,
         "repetition_scores": q_repetition_scores,
         "blocked_domains": q_blocked_domains,
         "fitted_perplexity": q_fitted_perplexity,
@@ -2361,6 +2404,12 @@ def oracle_sql() -> dict[str, str]:
         "html_extract": _html_extract_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "training_mix": _training_mix_oracle_sql(),
+        "warc_roundtrip": """
+SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
+         AS url,
+       CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes
+FROM documents
+""",
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,

@@ -1,0 +1,90 @@
+"""WARC source (sources/warc.py): stdlib parse of ISO-28500 segments ->
+pages rows, plain and CC-style gzip-per-member, truncation tolerance,
+and the Spark mapInPandas fan-out feeding the full pipeline."""
+
+import datetime
+
+import pytest
+
+from linguistjs_spark.sources.warc import (
+    build_warc_segment,
+    pages_from_warc,
+    pages_rows_from_segment,
+    parse_warc_records,
+)
+
+T0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+PAGES = [
+    ("https://a.example/index.html", T0, b"<html><body>hello</body></html>"),
+    ("https://b.example/app.js", T0.replace(hour=13), b"var x = 1;\n"),
+    ("https://c.example/empty", T0.replace(hour=14), b""),
+]
+
+
+def _warcinfo() -> bytes:
+    block = b"software: test\r\n"
+    return (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+        + str(len(block)).encode() + b"\r\n\r\n" + block + b"\r\n\r\n"
+    )
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_plain_and_gzip(gz):
+    raw = _warcinfo() + build_warc_segment(PAGES, gzip_members=gz)
+    if gz:
+        # mixed plain+gz segment is not valid; gzip the warcinfo too
+        import zlib
+        co = zlib.compressobj(wbits=zlib.MAX_WBITS | 16)
+        raw = co.compress(_warcinfo()) + co.flush() + build_warc_segment(
+            PAGES, gzip_members=True
+        )
+    rows = list(pages_rows_from_segment(raw))
+    assert [(r[0], r[1], r[2]) for r in rows] == PAGES  # warcinfo skipped
+    assert all(r[3] is None and r[4] is None for r in rows)
+
+
+def test_parse_yields_all_record_types():
+    raw = _warcinfo() + build_warc_segment(PAGES)
+    types = [h["warc-type"] for h, _ in parse_warc_records(raw)]
+    assert types == ["warcinfo", "response", "response", "response"]
+
+
+def test_truncated_tail_is_dropped_not_raised():
+    raw = build_warc_segment(PAGES)
+    rows = list(pages_rows_from_segment(raw[: len(raw) - 30]))
+    # the last record is truncated: lose exactly it, keep the rest
+    assert [r[0] for r in rows] == [u for u, _, _ in PAGES[:2]]
+
+
+def test_http_headers_stripped_body_exact():
+    raw = build_warc_segment([PAGES[0]])
+    (url, ts, html, _, _), = pages_rows_from_segment(raw)
+    assert html == PAGES[0][2]  # status line + headers gone, body byte-exact
+
+
+def test_spark_pages_from_warc_feeds_pipeline(spark):
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.pipeline import run_pipeline
+
+    seg1 = build_warc_segment(PAGES[:2])
+    seg2 = build_warc_segment(PAGES[2:], gzip_members=True)
+    segments = spark.createDataFrame(
+        [(bytearray(seg1),), (bytearray(seg2),)], "data binary"
+    )
+    pages = pages_from_warc(spark, segments)
+    got = {r.url: bytes(r.html) for r in pages.collect()}
+    assert got == {u: b for u, _, b in PAGES}
+
+    # the produced pages run through the full pipeline WITH the
+    # extraction stage on (WARC rows carry html bytes, no pre-extracted
+    # text — exactly the case cfg.extract_html exists for)
+    labels = run_pipeline(
+        spark, pages,
+        QualityFilterConfig(quality_rules=False, langid_fallback=False,
+                            scrub_pii=False, toxicity_filter=False,
+                            extract_html=True),
+    )
+    langs = {r.url: r.lang for r in labels.collect()}
+    assert langs["https://b.example/app.js"] == "JavaScript"
