@@ -43,7 +43,10 @@ def _gunzip_members(raw: bytes) -> bytes:
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.append(d.decompress(raw[pos:]))
+        try:
+            out.append(d.decompress(raw[pos:]))
+        except zlib.error:  # corrupt member: stop, keep what we have
+            break
         consumed = len(raw) - pos - len(d.unused_data)
         if consumed <= 0:  # corrupt trailing bytes: stop, keep what we have
             break

@@ -88,3 +88,23 @@ def test_spark_pages_from_warc_feeds_pipeline(spark):
     )
     langs = {r.url: r.lang for r in labels.collect()}
     assert langs["https://b.example/app.js"] == "JavaScript"
+
+
+# --- robustness: arbitrary bytes must never raise (truncated segments,
+# corrupt gzip members, lost sync are routine in a 100-TB crawl) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=4096))
+def test_parse_never_raises_on_garbage(raw):
+    list(pages_rows_from_segment(raw))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=4096), st.binary(max_size=8))
+def test_parse_never_raises_on_mutated_valid_segment(cut, junk):
+    base = build_warc_segment(PAGES, gzip_members=True)
+    mutated = base[:cut] + junk + base[cut + len(junk):]
+    list(pages_rows_from_segment(mutated))
