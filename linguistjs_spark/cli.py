@@ -58,6 +58,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=0,
                     help="resumable per-bucket run with lineage (0 = one shot)")
     ap.add_argument("--cores", default="*")
+    ap.add_argument("--warc", action="store_true",
+                    help="input is a directory of .warc/.warc.gz segment "
+                         "files (Common Crawl layout) instead of a pages "
+                         "parquet; implies --extract-html")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -73,7 +77,7 @@ def main(argv: list[str] | None = None) -> int:
         child_languages=args.child_languages,
         keep_vendored=args.keep_vendored,
         keep_binary=args.keep_binary,
-        extract_html=args.extract_html,
+        extract_html=args.extract_html or args.warc,
     )
     if args.categories:
         cfg_kwargs["categories"] = tuple(args.categories.split(","))
@@ -88,7 +92,22 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     )
     try:
-        pages = spark.read.parquet(args.input)
+        if args.warc:
+            # CC segment layout: one binary blob per .warc/.warc.gz file;
+            # binaryFile partitions by file, pages_from_warc fans records
+            # out executor-side (WARC rows carry html only — the implied
+            # extract_html stage produces the text column downstream)
+            from .sources.warc import pages_from_warc
+
+            segments = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc*")
+                .load(args.input)
+                .select("content")
+            )
+            pages = pages_from_warc(spark, segments, data_col="content")
+        else:
+            pages = spark.read.parquet(args.input)
         missing = [c for c in ("url", "text") if c not in pages.columns]
         if missing:
             print(

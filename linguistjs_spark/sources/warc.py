@@ -150,6 +150,40 @@ def pages_from_warc(spark, segments, data_col: str = "data"):
     return segments.mapInPandas(expand, schema=WARC_PAGES_SCHEMA)
 
 
+def warc_segments_from_pages(
+    pages, gzip_members: bool = True, data_col: str = "data"
+):
+    """Sink direction: pages DataFrame -> one WARC segment blob per Arrow
+    batch (CC-style gzip members by default). The inverse of
+    ``pages_from_warc``; round-trip is byte-exact on the html column
+    (driver query ``warc_roundtrip`` pins the parse side, tests pin the
+    full cycle). Partitioning controls segment count: ``repartition(n)``
+    upstream yields ~n segments — at crawl scale, size partitions to the
+    ~1 GiB segment convention."""
+    import pandas as pd
+
+    def pack(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [
+                (
+                    r.url,
+                    r.warc_ts if r.warc_ts is not None
+                    else _dt.datetime(1970, 1, 1),
+                    bytes(r.html) if r.html is not None else b"",
+                )
+                for r in pdf.itertuples()
+            ]
+            yield pd.DataFrame(
+                {data_col: [build_warc_segment(rows, gzip_members)]}
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        pack, schema=f"{data_col} binary"
+    )
+
+
 def build_warc_segment(
     pages: list[tuple[str, _dt.datetime, bytes]], gzip_members: bool = False
 ) -> bytes:

@@ -108,3 +108,49 @@ def test_parse_never_raises_on_mutated_valid_segment(cut, junk):
     base = build_warc_segment(PAGES, gzip_members=True)
     mutated = base[:cut] + junk + base[cut + len(junk):]
     list(pages_rows_from_segment(mutated))
+
+
+def test_sink_roundtrip_through_spark(spark):
+    """pages -> warc_segments_from_pages -> pages_from_warc: html bytes
+    and urls survive byte-exact (the sink is the source's inverse)."""
+    from linguistjs_spark.sources.warc import warc_segments_from_pages
+
+    pages = spark.createDataFrame(
+        [(u, t, bytearray(b), None, None) for u, t, b in PAGES],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).repartition(2)
+    segs = warc_segments_from_pages(pages)
+    back = pages_from_warc(spark, segs)
+    got = {r.url: (r.warc_ts, bytes(r.html)) for r in back.collect()}
+    assert got == {u: (t, b) for u, t, b in PAGES}
+
+
+def test_cli_warc_input(tmp_path, spark):
+    """--warc: a directory of .warc.gz segment files drives the full
+    pipeline (implied extract_html) and prints the rollup table."""
+    import contextlib
+    import io
+
+    from linguistjs_spark.cli import main
+
+    # content long and line-diverse enough to pass the default quality gate
+    py = ("# this module computes several useful values for the demo\n"
+          + "".join(f"value_{i} = {i} * 3 + 1  # result number {i}\n"
+                    for i in range(40))).encode()
+    js = ("// frontend application entry point with assorted variables\n"
+          + "".join(f"var item{i} = {i} + 7; // element number {i}\n"
+                    for i in range(40))).encode()
+    seg = build_warc_segment(
+        [("https://a.example/hello.py", T0, py),
+         ("https://b.example/app.js", T0, js)],
+        gzip_members=True,
+    )
+    d = tmp_path / "segments"
+    d.mkdir()
+    (d / "part-0.warc.gz").write_bytes(seg)
+    out = io.StringIO()
+    with contextlib.redirect_stdout(out):
+        rc = main([str(d), "--warc"])
+    assert rc == 0
+    text = out.getvalue()
+    assert "Python" in text and "JavaScript" in text
