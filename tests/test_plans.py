@@ -125,3 +125,17 @@ def test_shipdate_predicate_pushdown(spark):
     plan = formatted_plan(df)
     pf = pushed_filters(plan)
     assert any("l_shipdate" in p for p in pf), pf
+
+
+def test_training_mix_plan_shape(spark):
+    """The composed mix pipeline keeps its at-scale shapes in ONE plan:
+    the benchmark-gram probe is a broadcast join (corpus never shuffles
+    against it), exactly one Window handles exact-dedup winner selection,
+    and nothing degenerates into a cartesian product."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["training_mix"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Window") >= 1, plan
