@@ -86,6 +86,16 @@ def make_spark(cores: int):
         # per in-flight batch, well inside executor memory)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", "16g")
+        # Pin the heap floor and pre-touch it at boot: without -Xms the heap
+        # starts ~256MB and grows under load, and G1 UNCOMMITS freed regions
+        # after concurrent cycles — on this guest (free-page reporting to the
+        # hypervisor, page_reporting_order=11) every uncommit hands pages back
+        # host-side and the next heavy leg refaults them at storm cost
+        # (measured r4: leg-0 carried 47-84k extra pgfaults and 18-25% host
+        # sys). Xms=8g stops G1 uncommitting below 8g; AlwaysPreTouch moves
+        # the one-time fault-in to session boot, outside every timed leg.
+        # A real cluster sets executor Xms==Xmx as a matter of course.
+        .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+AlwaysPreTouch")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -251,11 +261,56 @@ def warmup(spark, cores: int) -> None:
     """
     global PARTS
     saved = PARTS
-    PARTS = max(cores // 2, 1)
+    # PARTS = cores (NOT cores//2, the round-3 value): with cores//2
+    # partitions only half the python workers spawn during warm-up, and the
+    # other half pay their interpreter start + pandas/numpy import + buffer
+    # fault-in (~22k pages each) inside the FIRST TIMED LEG — measured r4:
+    # leg0 at local[32] carried 354k pgfaults / 25-33% host sys and read
+    # 32-88 s vs 4.6 s warm; at local[16] leg0 carried 187k pgfaults. One
+    # task per core ⇒ every worker slot is exercised once.
+    PARTS = max(cores, 1)
     try:
         run_pipeline_job(spark, SF_DIR, REPLICATE)
     finally:
         PARTS = saved
+
+
+LEG_RUNS = int(os.environ.get("SPARK_GRAFT_LEG_RUNS", "2"))
+
+
+def _dirty(host: dict) -> bool:
+    """Host-contamination criterion (memory: clean = steal<=2% / sys<=2%,
+    with headroom for the UDF legs' genuine kernel time)."""
+    return host.get("steal_pct", 0.0) > 3.0 or host.get("sys_pct", 0.0) > 5.0
+
+
+def run_leg(name: str, queries: dict, queries_host: dict, make_job):
+    """min-of-N + per-leg host telemetry + storm retry, for EVERY leg
+    (VERDICT r03 item 2 — round 3 recorded most legs from a single run and
+    one driver leg landed inside a host storm).
+
+    make_job() must return a FRESH thunk each call: re-collecting the same
+    DataFrame is invalid (Spark reuses materialized shuffle files and re-runs
+    only the post-shuffle stage — measured 0.08s for a 240k-doc "run"), and
+    the retry legs must pay the same full cost as the first.
+    """
+    legs = []
+    first_out = None
+    for i in range(LEG_RUNS):
+        t, out = timed(make_job())
+        if i == 0:
+            first_out = out
+        legs.append((t, dict(LAST_LEG_HOST)))
+    t_min, h_min = min(legs, key=lambda x: x[0])
+    if _dirty(h_min):
+        # the min leg itself was contaminated: one more chance for a clean
+        # window (storms last 20-60s; padding quiet runs helps nobody)
+        t3, _ = timed(make_job())
+        legs.append((t3, dict(LAST_LEG_HOST)))
+        t_min, h_min = min(legs, key=lambda x: x[0])
+    queries[name] = round(t_min, 3)
+    queries_host[name] = {**h_min, "runs": [round(t, 3) for t, _ in legs]}
+    return first_out
 
 
 def main() -> None:
@@ -266,36 +321,28 @@ def main() -> None:
     import linguistjs_spark.operators.text_stats as TS
 
     queries: dict[str, float] = {}
+    queries_host: dict[str, dict] = {}
 
     spark = make_spark(CPUS)
     try:
         warmup(spark, CPUS)
-        # the docs file is one parquet split: repartition so the sketch
-        # operators parallelise (same reasoning as bench_pages)
-        docs = (
-            spark.read.parquet(f"{SF_DIR}/documents.parquet")
-            .repartition(CPUS * 2, F.col("doc_id"))
-        )
-        n_raw = docs.count()
 
-        # Each timed run builds a FRESH job (re-collecting the same
-        # DataFrame is invalid: Spark reuses the materialized shuffle files
-        # and re-runs only the post-shuffle stage — measured 0.08s for a
-        # 240k-doc "run"). Fresh plans pay ~1.5-2s of Catalyst planning,
-        # a per-job constant the input size must amortize.
-        # min-of-THREE, not two: a host storm (see LAST_LEG_HOST) lasts
-        # 20-60s and can wreck two consecutive legs; three gives one more
-        # chance for an uncontaminated window. host{} keeps the stats of
-        # the MIN leg — the number the round is judged on.
-        legs = []
-        t_a, n_docs = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
-        legs.append((t_a, dict(LAST_LEG_HOST)))
-        t_b, _ = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
-        legs.append((t_b, dict(LAST_LEG_HOST)))
-        t_c, _ = timed(run_pipeline_job, spark, SF_DIR, REPLICATE)
-        legs.append((t_c, dict(LAST_LEG_HOST)))
-        t_pipe, pipe_host = min(legs, key=lambda x: x[0])
-        queries["pipeline_rollup"] = round(t_pipe, 3)
+        def fresh_docs():
+            # FRESH read per leg: a shared DataFrame object would let later
+            # legs reuse the repartition exchange's shuffle files (same RDD
+            # lineage), recording a post-shuffle-only time as the min.
+            return (
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .repartition(CPUS * 2, F.col("doc_id"))
+            )
+
+        n_raw = fresh_docs().count()
+
+        def pipe_job():
+            return lambda: run_pipeline_job(spark, SF_DIR, REPLICATE)
+
+        n_docs = run_leg("pipeline_rollup", queries, queries_host, pipe_job)
+        pipe_host = queries_host["pipeline_rollup"]
 
         # reference-comparable workload: the classification cascade alone
         # (no quality/langid/scrub — the stages the reference doesn't have)
@@ -306,86 +353,107 @@ def main() -> None:
             quality_rules=False, langid_fallback=False,
             scrub_pii=False, toxicity_filter=False,
         )
-        pages_c = bench_pages(spark, SF_DIR, REPLICATE)
-        t, _ = timed(
-            lambda: run_pipeline(spark, pages_c, cascade_cfg)
-            .groupBy("lang").agg(F.count("*"), F.sum("bytes")).collect()
+
+        def cascade_job():
+            pages_c = bench_pages(spark, SF_DIR, REPLICATE)
+            return (
+                lambda: run_pipeline(spark, pages_c, cascade_cfg)
+                .groupBy("lang").agg(F.count("*"), F.sum("bytes")).collect()
+            )
+
+        run_leg("cascade_only", queries, queries_host, cascade_job)
+
+        run_leg(
+            "text_stats", queries, queries_host,
+            lambda: lambda: TS.doc_stats(fresh_docs()).agg(
+                F.sum("n_tokens"), F.sum("n_bpe_tokens")).collect(),
         )
-        queries["cascade_only"] = round(t, 3)
 
-        t, _ = timed(lambda: TS.doc_stats(docs).agg(
-            F.sum("n_tokens"), F.sum("n_bpe_tokens")).collect())
-        queries["text_stats"] = round(t, 3)
+        run_leg(
+            "exact_dedup", queries, queries_host,
+            lambda: lambda: DD.exact_dedup(fresh_docs()).count(),
+        )
 
-        t, _ = timed(lambda: DD.exact_dedup(docs).count())
-        queries["exact_dedup"] = round(t, 3)
+        run_leg(
+            "minhash_lsh", queries, queries_host,
+            lambda: lambda: DD.minhash_dedup_pairs(
+                fresh_docs(), threshold=0.5).count(),
+        )
 
-        t, _ = timed(lambda: DD.minhash_dedup_pairs(docs, threshold=0.5).count())
-        queries["minhash_lsh"] = round(t, 3)
-
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        qvec = [r[0] for r in emb.filter(F.col("vec_id") == 0)
+        emb_path = f"{SF_DIR}/embeddings.parquet"
+        qvec = [r[0] for r in spark.read.parquet(emb_path)
+                .filter(F.col("vec_id") == 0)
                 .select(F.explode("embedding")).collect()]
-        t, _ = timed(lambda: SIM.brute_force_topk(emb, qvec, k=10).collect())
-        queries["ann_bruteforce"] = round(t, 3)
+        run_leg(
+            "ann_bruteforce", queries, queries_host,
+            lambda: lambda: SIM.brute_force_topk(
+                spark.read.parquet(emb_path), qvec, k=10).collect(),
+        )
 
-        # new round-2 ops: html extraction (pure codegen projection) and
+        # round-2 ops: html extraction (pure codegen projection) and
         # corpus-wide paragraph dedup (window + reassembly shuffles)
         from linguistjs_spark.operators.extract import (
             extract_text_col, synth_html_col)
 
-        t, _ = timed(
-            lambda: docs.select(
+        run_leg(
+            "html_extract", queries, queries_host,
+            lambda: lambda: fresh_docs().select(
                 extract_text_col(
                     synth_html_col(F.col("doc_id"), F.col("text"))
                 ).alias("e")
-            ).agg(F.sum(F.length("e"))).collect()
+            ).agg(F.sum(F.length("e"))).collect(),
         )
-        queries["html_extract"] = round(t, 3)
 
-        t, _ = timed(
-            lambda: DD.paragraph_dedup(docs)
-            .agg(F.sum("n_paras"), F.sum("n_kept")).collect()
+        run_leg(
+            "paragraph_dedup", queries, queries_host,
+            lambda: lambda: DD.paragraph_dedup(fresh_docs())
+            .agg(F.sum("n_paras"), F.sum("n_kept")).collect(),
         )
-        queries["paragraph_dedup"] = round(t, 3)
 
         # round-3 ops: span-level exact-substring dedup (explode + two
         # hash exchanges) and DSIR fit+score (two count-aggs + native fold)
-        t, _ = timed(
-            lambda: DD.duplicated_span_stats(docs, n=20)
-            .agg(F.sum("n_spans"), F.sum("n_dup_spans")).collect()
+        run_leg(
+            "span_dedup", queries, queries_host,
+            lambda: lambda: DD.duplicated_span_stats(fresh_docs(), n=20)
+            .agg(F.sum("n_spans"), F.sum("n_dup_spans")).collect(),
         )
-        queries["span_dedup"] = round(t, 3)
 
         from linguistjs_spark.operators import training_select as TSEL
 
-        def _dsir_job():
-            w = TSEL.fit_dsir_weights(
-                docs.filter(F.col("source").isin("src0", "src1")), docs,
-                buckets=1024,
-            )
-            return TSEL.dsir_scores(docs, w).agg(F.sum("dsir_score")).collect()
+        def dsir_job():
+            def go():
+                docs = fresh_docs()
+                w = TSEL.fit_dsir_weights(
+                    docs.filter(F.col("source").isin("src0", "src1")), docs,
+                    buckets=1024,
+                )
+                return TSEL.dsir_scores(docs, w).agg(
+                    F.sum("dsir_score")).collect()
+            return go
 
-        t, _ = timed(_dsir_job)
-        queries["dsir_fit_score"] = round(t, 3)
+        run_leg("dsir_fit_score", queries, queries_host, dsir_job)
 
         # composed end-to-end mix: dedup winners -> decontam -> sample ->
         # rollup in ONE job (the __spark_entry__ training_mix plan)
         import __spark_entry__ as _E
 
-        t, _ = timed(
-            lambda: _E.q_training_mix(spark, SF_DIR).collect()
+        run_leg(
+            "training_mix", queries, queries_host,
+            lambda: lambda: _E.q_training_mix(spark, SF_DIR).collect(),
         )
-        queries["training_mix"] = round(t, 3)
 
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to
         # the tail) — evidences repartition_by_length actually engaging.
-        t, _ = timed(run_skew_job, spark, SF_DIR, REPLICATE, False)
-        queries["pipeline_skew_hash"] = round(t, 3)
-        t, _ = timed(run_skew_job, spark, SF_DIR, REPLICATE, True)
-        queries["pipeline_skew_range"] = round(t, 3)
+        run_leg(
+            "pipeline_skew_hash", queries, queries_host,
+            lambda: lambda: run_skew_job(spark, SF_DIR, REPLICATE, False),
+        )
+        run_leg(
+            "pipeline_skew_range", queries, queries_host,
+            lambda: lambda: run_skew_job(spark, SF_DIR, REPLICATE, True),
+        )
     finally:
         spark.stop()
 
@@ -402,7 +470,14 @@ def main() -> None:
     host_by_cores: dict = {}
     n_scale_docs = None
     pair_ns = sorted({SCALE_N, SCALE_N * 2})
-    for cores in sorted({n for p in pair_ns for n in (p, p * 4)}):
+    scale_cores = sorted({n for p in pair_ns for n in (p, p * 4)})
+    # high-core monotonicity evidence (VERDICT r03 item 1): run the SAME
+    # 640k-doc job at the driver's core count too, so the artifact itself
+    # shows local[16] -> local[32] is monotonic (>= 1.0x) rather than the
+    # r3 regression. Skipped if CPUS already appears in the pair legs.
+    if CPUS > max(scale_cores):
+        scale_cores.append(CPUS)
+    for cores in scale_cores:
         s = make_spark(cores)
         try:
             warmup(s, cores)  # untimed: jvm + codegen + buffer fault-in
@@ -429,6 +504,63 @@ def main() -> None:
         finally:
             s.stop()
 
+    # ---- host-ceiling probe (VERDICT r03 item 6) ----
+    # The 4->16 pair reads low on this box because the HOST's memory
+    # subsystem delivers a fixed aggregate ceiling (~18.3k docs/s) past ~8
+    # busy cores, regardless of process arrangement. Evidence it in the same
+    # artifact as the efficiency number: two CONCURRENT local[8] sessions in
+    # separate JVMs (no shared locks/GC/scheduler/Arrow pools) vs the solo
+    # local[16] leg above. Aggregate parity => the droop is the machine, not
+    # the engine. See scripts/host_ceiling_probe.py for the full method.
+    probe = None
+    if os.environ.get("SPARK_GRAFT_PROBE", "1") == "1" and 16 in t_by_cores:
+        import subprocess
+
+        child = (
+            "import os,sys,json,time\n"
+            f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+            "import bench\n"
+            "s = bench.make_spark(8)\n"
+            "try:\n"
+            "    bench.warmup(s, 8)\n"
+            "    t0 = time.perf_counter()\n"  # pair-window start, post-warmup
+            "    t, n = bench.timed(bench.run_pipeline_job, s, bench.SF_DIR,"
+            " bench.SCALE_REPLICATE)\n"
+            "    print(json.dumps({'wall': t, 'n': n,"
+            " 'host': dict(bench.LAST_LEG_HOST)}))\n"
+            "finally:\n"
+            "    s.stop()\n"
+        )
+
+        def _spawn():
+            return subprocess.Popen(
+                [sys.executable, "-c", child],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            )
+
+        pa, pb = _spawn(), _spawn()
+        outs = []
+        for p in (pa, pb):
+            stdout, _ = p.communicate()
+            for line in stdout.splitlines():
+                try:
+                    outs.append(json.loads(line))
+                except ValueError:
+                    pass
+        if len(outs) == 2:
+            # each child warms up independently, so the timed legs overlap
+            # only approximately; aggregate = sum of each child's own rate,
+            # the same accounting the probe script uses
+            agg = sum(o["n"] / o["wall"] for o in outs)
+            solo16 = n_scale_docs / t_by_cores[16]
+            probe = {
+                "conc8_walls": [round(o["wall"], 3) for o in outs],
+                "conc8_hosts": [o["host"] for o in outs],
+                "conc8_aggregate_docs_per_sec": round(agg, 1),
+                "solo16_docs_per_sec": round(solo16, 1),
+                "aggregate_ratio_conc8_over_solo16": round(agg / solo16, 3),
+            }
+
     def pair_stats(n: int) -> dict:
         t_n, t_4n = t_by_cores[n], t_by_cores[n * 4]
         return {
@@ -444,28 +576,48 @@ def main() -> None:
             "host_4n": host_by_cores.get(n * 4, {}),
         }
 
+    scaling = pair_stats(SCALE_N)
+    if probe is not None:
+        scaling["host_ceiling_probe"] = probe
+    # monotonicity at the driver's core count on the big input: wall at the
+    # highest pair leg (16) vs wall at CPUS (32) — >= 1.0 means adding cores
+    # never loses (the r3 defect was 16->32 regressing)
+    mono = None
+    if CPUS in t_by_cores and 16 in t_by_cores and CPUS > 16:
+        mono = {
+            "cores_lo": 16,
+            "cores_hi": CPUS,
+            "wall_sec_lo": round(t_by_cores[16], 3),
+            "wall_sec_hi": round(t_by_cores[CPUS], 3),
+            "speedup_hi_over_lo": round(t_by_cores[16] / t_by_cores[CPUS], 3),
+            "host_lo": host_by_cores.get(16, {}),
+            "host_hi": host_by_cores.get(CPUS, {}),
+        }
+
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                # every queries{} leg runs at this core count — recorded so
-                # rounds are only ever compared at identical config
-                # (VERDICT r02 item 1)
-                "cores": CPUS,
-                "queries": queries,
-                "sf": SF_DIR,
-                "n_docs_pipeline": n_docs,
-                "n_docs_raw": n_raw,
-                "docs_per_sec": round(n_docs / t_pipe, 1),
-                "pipeline_host": pipe_host,
-                "scaling": pair_stats(SCALE_N),
-                "scaling_pairs": [pair_stats(n) for n in pair_ns],
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        # every queries{} leg runs at this core count — recorded so
+        # rounds are only ever compared at identical config
+        # (VERDICT r02 item 1)
+        "cores": CPUS,
+        "queries": queries,
+        # per-leg min-leg host telemetry + every raw run (VERDICT r03
+        # item 2: no leg is a single unaudited number anymore)
+        "queries_host": queries_host,
+        "sf": SF_DIR,
+        "n_docs_pipeline": n_docs,
+        "n_docs_raw": n_raw,
+        "docs_per_sec": round(n_docs / queries["pipeline_rollup"], 1),
+        "pipeline_host": pipe_host,
+        "scaling": scaling,
+        "scaling_pairs": [pair_stats(n) for n in pair_ns],
+    }
+    if mono is not None:
+        out["monotonic_hi"] = mono
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -89,6 +89,11 @@ def main(argv: list[str] | None = None) -> int:
         SparkSession.builder.master(f"local[{args.cores}]")
         .appName("linguistjs-spark-cli")
         .config("spark.sql.adaptive.enabled", "true")
+        # WARC-Date is UTC by spec and parsed to a NAIVE datetime; Spark
+        # interprets naive datetimes in the session timezone, so on a
+        # non-UTC host a --warc source->sink cycle would shift every
+        # timestamp by the host's UTC offset (ADVICE r03). Pin UTC.
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     try:

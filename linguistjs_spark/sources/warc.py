@@ -106,11 +106,17 @@ def _http_body(block: bytes) -> bytes:
 
 
 def _parse_warc_date(s: str) -> _dt.datetime | None:
-    # WARC-Date is W3C ISO-8601 Zulu: 2026-01-01T00:00:00Z
-    try:
-        return _dt.datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
-    except (ValueError, TypeError):
-        return None
+    # WARC-Date is W3C ISO-8601 Zulu. WARC 1.0 mandates second precision;
+    # WARC 1.1 allows fractional seconds (ADVICE r03: those silently read
+    # as NULL before). Values are UTC by spec — returned naive, so the
+    # session timezone MUST be pinned to UTC wherever these rows are
+    # turned into Spark timestamps (cli.py pins it; see test_warc_tz).
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ"):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except (ValueError, TypeError):
+            continue
+    return None
 
 
 def pages_rows_from_segment(raw: bytes) -> Iterator[tuple]:
@@ -166,15 +172,26 @@ def warc_segments_from_pages(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # NULL handling (ADVICE r03): mapInPandas delivers NULL
+            # timestamps as pandas NaT — which is NOT None, so an
+            # `is not None` fallback never fired and strftime crashed the
+            # partition. pd.isna is the correct NULL test for every arrow
+            # scalar. NULL-url rows are dropped: WARC-Target-URI is
+            # mandatory on response records, and the source side never
+            # emits such rows (it skips records without a target URI).
             rows = [
                 (
                     r.url,
-                    r.warc_ts if r.warc_ts is not None
-                    else _dt.datetime(1970, 1, 1),
-                    bytes(r.html) if r.html is not None else b"",
+                    _dt.datetime(1970, 1, 1) if pd.isna(r.warc_ts)
+                    else r.warc_ts.to_pydatetime()
+                    if hasattr(r.warc_ts, "to_pydatetime") else r.warc_ts,
+                    b"" if r.html is None else bytes(r.html),
                 )
                 for r in pdf.itertuples()
+                if r.url is not None and not pd.isna(r.url)
             ]
+            if not rows:
+                continue
             yield pd.DataFrame(
                 {data_col: [build_warc_segment(rows, gzip_members)]}
             )

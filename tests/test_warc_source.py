@@ -154,3 +154,74 @@ def test_cli_warc_input(tmp_path, spark):
     assert rc == 0
     text = out.getvalue()
     assert "Python" in text and "JavaScript" in text
+
+
+# --- ADVICE r03 regressions: NULL warc_ts/html in the sink (NaT is not
+# None under mapInPandas), WARC 1.1 fractional-second dates, and the
+# UTC session-timezone contract ---
+
+
+def test_sink_roundtrip_null_ts_and_html(spark):
+    """NULL warc_ts arrives in the sink worker as pandas NaT (not None);
+    the 1970 fallback must fire instead of strftime crashing the
+    partition (ADVICE r03). NULL html must become an empty body."""
+    from linguistjs_spark.sources.warc import warc_segments_from_pages
+
+    rows = [
+        ("https://null-ts.example/", None, bytearray(b"<html>x</html>"),
+         None, None),
+        ("https://null-html.example/", T0, None, None, None),
+        ("https://ok.example/", T0, bytearray(b"ok"), None, None),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).repartition(2)
+    back = pages_from_warc(spark, warc_segments_from_pages(pages))
+    got = {r.url: (r.warc_ts, bytes(r.html)) for r in back.collect()}
+    assert got["https://null-ts.example/"] == (
+        datetime.datetime(1970, 1, 1), b"<html>x</html>")
+    assert got["https://null-html.example/"] == (T0, b"")
+    assert got["https://ok.example/"] == (T0, b"ok")
+
+
+def test_fractional_second_warc_date_parses():
+    """WARC 1.1 allows fractional-second WARC-Date; those must parse
+    instead of silently reading as NULL (ADVICE r03)."""
+    from linguistjs_spark.sources.warc import _parse_warc_date
+
+    assert _parse_warc_date("2026-01-01T00:00:00.123Z") == \
+        datetime.datetime(2026, 1, 1, 0, 0, 0, 123000)
+    assert _parse_warc_date("2026-01-01T00:00:00Z") == \
+        datetime.datetime(2026, 1, 1)
+    assert _parse_warc_date("not a date") is None
+    assert _parse_warc_date("") is None
+
+
+def test_fractional_second_date_roundtrips_through_segment():
+    seg = build_warc_segment([("https://a/", T0, b"x")])
+    # splice a fractional-second date into the record
+    seg = seg.replace(b"12:00:00Z", b"12:00:00.250Z")
+    (url, ts, html, _, _), = pages_rows_from_segment(seg)
+    assert ts == T0.replace(microsecond=250000)
+
+
+def test_warc_ts_is_utc_instant(spark):
+    """WARC-Date is UTC by spec; with the session timezone pinned to UTC
+    (the cli.py contract) the stored instant's epoch equals the Zulu
+    string's UTC epoch. Run under a non-UTC session tz this would be
+    shifted by the host offset — the ADVICE r03 defect."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        seg = build_warc_segment([("https://a/", T0, b"x")])
+        segments = spark.createDataFrame([(bytearray(seg),)], "data binary")
+        pages = pages_from_warc(spark, segments)
+        (epoch,) = pages.select(
+            F.unix_timestamp("warc_ts").alias("e")).first()
+        assert epoch == int(
+            T0.replace(tzinfo=datetime.timezone.utc).timestamp())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
