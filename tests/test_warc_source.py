@@ -225,3 +225,120 @@ def test_warc_ts_is_utc_instant(spark):
             T0.replace(tzinfo=datetime.timezone.utc).timestamp())
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+# --- chunked (ranged-read) ingestion: VERDICT r03 missing #4 — per-task
+# memory bounded by chunk_bytes, not segment size ---
+
+
+def _many_pages(n=40):
+    """Records with varied body sizes so members straddle small chunks."""
+    return [
+        (f"https://site{i}.example/p{i}.html",
+         T0.replace(minute=i % 60),
+         (f"<html><body>{'x' * (i * 37 % 900)}</body></html>").encode())
+        for i in range(n)
+    ]
+
+
+def _write_segment(tmp_path, pages, name="seg.warc.gz", gz=True):
+    p = tmp_path / name
+    p.write_bytes(build_warc_segment(pages, gzip_members=gz))
+    return str(p)
+
+
+def _chunk_rows(path, chunk_bytes):
+    import os
+    size = os.path.getsize(path)
+    out = []
+    s = 0
+    while s < size:
+        out.append((path, s, min(chunk_bytes, size - s), size))
+        s += chunk_bytes
+    return out or [(path, 0, 0, 0)]
+
+
+@pytest.mark.parametrize("chunk_bytes", [64, 200, 1 << 20])
+def test_chunked_equals_whole_blob(tmp_path, chunk_bytes):
+    """Every record parsed exactly once regardless of where chunk
+    boundaries fall (including mid-member), byte-identical bodies."""
+    from linguistjs_spark.sources.warc import pages_rows_from_chunk
+
+    pages = _many_pages()
+    path = _write_segment(tmp_path, pages)
+    got = [
+        r
+        for (p, s, ln, fs) in _chunk_rows(path, chunk_bytes)
+        for r in pages_rows_from_chunk(p, s, ln, fs)
+    ]
+    assert [(r[0], r[1], r[2]) for r in got] == pages
+
+
+def test_chunked_plain_file_single_chunk_falls_back(tmp_path):
+    """A non-gzip-per-member file is unsplittable: one whole-file chunk
+    parses it; ranged sub-chunks of it yield nothing rather than junk."""
+    from linguistjs_spark.sources.warc import pages_rows_from_chunk
+
+    pages = _many_pages(5)
+    path = _write_segment(tmp_path, pages, name="seg.warc", gz=False)
+    import os
+    size = os.path.getsize(path)
+    whole = list(pages_rows_from_chunk(path, 0, size, size))
+    assert [(r[0], r[1], r[2]) for r in whole] == pages
+    sub = [
+        r
+        for (p, s, ln, fs) in _chunk_rows(path, size // 3)
+        for r in pages_rows_from_chunk(p, s, ln, fs)
+    ]
+    assert sub == []
+
+
+def test_chunked_corrupt_member_stops_cleanly(tmp_path):
+    from linguistjs_spark.sources.warc import pages_rows_from_chunk
+
+    pages = _many_pages(6)
+    raw = build_warc_segment(pages, gzip_members=True)
+    # corrupt the middle: flip bytes well inside the blob
+    mid = len(raw) // 2
+    raw = raw[:mid] + bytes(b ^ 0xFF for b in raw[mid:mid + 8]) + raw[mid + 8:]
+    p = tmp_path / "corrupt.warc.gz"
+    p.write_bytes(raw)
+    got = list(pages_rows_from_chunk(str(p), 0, len(raw), len(raw)))
+    # never raises; keeps a prefix of the records (sync may also recover
+    # members after the corruption — both are acceptable, losing all is not)
+    assert 0 < len(got) <= len(pages)
+    urls = {r[0] for r in got}
+    assert urls <= {u for u, _, _ in pages}
+
+
+def test_chunked_spark_end_to_end_matches_blob_reader(tmp_path, spark):
+    """warc_chunks + pages_from_warc_chunks == pages_from_warc over the
+    same segments (hash-green roundtrip at bounded per-task memory)."""
+    import hashlib
+
+    from linguistjs_spark.sources.warc import (
+        pages_from_warc_chunks,
+        warc_chunks,
+    )
+
+    paths = [
+        _write_segment(tmp_path, _many_pages(30), name="s0.warc.gz"),
+        _write_segment(tmp_path, _many_pages(17), name="s1.warc.gz"),
+    ]
+    chunks = warc_chunks(spark, paths, chunk_bytes=256)  # many chunks/file
+    assert chunks.count() > 8  # the ranged path actually engages
+    via_chunks = pages_from_warc_chunks(chunks).collect()
+
+    segments = spark.createDataFrame(
+        [(bytearray(open(p, "rb").read()),) for p in paths], "data binary"
+    )
+    via_blob = pages_from_warc(spark, segments).collect()
+
+    def key(rows):
+        return sorted(
+            (r.url, r.warc_ts, hashlib.md5(bytes(r.html)).hexdigest())
+            for r in rows
+        )
+
+    assert key(via_chunks) == key(via_blob)
+    assert len(via_chunks) == 47
