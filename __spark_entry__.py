@@ -587,6 +587,13 @@ _HEUR_CASES = [
     (".inc", "#if defined _mylib_included\n#endinput\n#endif\n",
      "SourcePawn"),
     (".inc", 'script_name("Port scan");\nscript_id(99999);\n', "NASL"),
+    # batch 13 (widen_heuristics13.py): Lean/Lean 4, Roff/Noir, XML/HCL
+    (".lean", "import data.nat.basic\nopen nat\n", "Lean"),
+    (".lean", "import Mathlib.Tactic\ntheorem t : 1 = 1 := rfl\n", "Lean 4"),
+    (".nr", '.\\" man page source\n.TH FOO 1\n', "Roff"),
+    (".nr", "fn main() {\n    assert(1 == 1);\n}\n", "Noir"),
+    (".workflow", '<?xml version="1.0"?>\n<workflow></workflow>\n', "XML"),
+    (".workflow", 'workflow "on-push" {\n  on = "push"\n}\n', "HCL"),
 ]
 
 
