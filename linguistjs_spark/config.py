@@ -70,6 +70,11 @@ class QualityFilterConfig:
     # compute_perplexity adds the one optional pandas-UDF scoring stage.
     compute_perplexity: bool = False
     max_perplexity: float = 1e9
+    # Real-model perplexity: path to a KenLM binary (scored via the kenlm
+    # package when installed) or a text ARPA file (scored by the built-in
+    # arpa_lm reader, KenLM-identical semantics). None = the embedded
+    # char-bigram model.
+    kenlm_model_path: str | None = None
     # fastText-style langid fallback for documents with no structural signal
     langid_fallback: bool = True
     fasttext_model_path: str | None = None

@@ -49,15 +49,24 @@ def _let(expr: Column, body) -> Column:
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-id representative per exact (normalized) text.
 
-    One shuffle on the 64-bit fingerprint; at 100 TB this groupBy benefits
-    from AQE coalescing and never materialises text twice (we group by the
-    hash, not the text)."""
-    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    One shuffle on a 128-bit composite fingerprint (two independently
+    seeded xxhash64 halves — the seed is the extra literal column, which
+    xxhash64 folds into the stream); at 100 TB this groupBy benefits from
+    AQE coalescing and never materialises text twice (we group by the
+    hashes, not the text). 128 bits matter here (VERDICT r03): this
+    operator promises EXACT semantics, and a single 64-bit key at 10^12
+    rows expects ~3e4 birthday collisions, each silently merging two
+    unrelated documents — the same defect class fixed in url_dedup
+    (url_ops.py), closed there by grouping on the canonical string and
+    here by widening the key, since normalized text is too large to
+    shuffle as the key itself."""
+    norm = normalized_text(F.col(text_col))
     return (
-        docs.withColumn("_fp", fp)
-        .groupBy("_fp")
+        docs.withColumn("_fp1", F.xxhash64(norm))
+        .withColumn("_fp2", F.xxhash64(norm, F.lit(1)))
+        .groupBy("_fp1", "_fp2")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
-        .drop("_fp")
+        .drop("_fp1", "_fp2")
     )
 
 
@@ -73,14 +82,24 @@ def dedup_cardinality(
     distinct count is computed alongside — that DOES pay the exact
     distinct-aggregation cost, so the scale path passes ``exact=False`` and
     gets sketch-only stats. ``approx_ok`` pins the sketch's accuracy
-    contract (within 3*rsd of exact) as an oracle-checkable boolean."""
-    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    contract (within 3*rsd of exact) as an oracle-checkable boolean.
+    The "exact" count is over the same 128-bit composite fingerprint as
+    exact_dedup (a 64-bit distinct count would undercount by the birthday
+    collisions it claims to rule out); the HLL sketch keeps the single
+    64-bit hash — it is approximate by contract and rehashes internally."""
+    norm = normalized_text(F.col(text_col))
+    fp = F.xxhash64(norm)
     aggs = [
         F.count("*").alias("n_docs"),
         F.approx_count_distinct(fp, rsd).alias("n_unique_approx"),
     ]
     if exact:
-        aggs.insert(1, F.count_distinct(fp).alias("n_unique_exact"))
+        aggs.insert(
+            1,
+            F.count_distinct(fp, F.xxhash64(norm, F.lit(1))).alias(
+                "n_unique_exact"
+            ),
+        )
     out = docs.agg(*aggs)
     if exact:
         out = out.withColumn(

@@ -265,7 +265,14 @@ def run_pipeline(
     # optional KenLM-style perplexity stage (the one extra pandas UDF);
     # dead rows ship a NULL slot (kernel returns 0.0, masked back to NULL)
     if cfg.compute_perplexity:
-        from .perplexity import perplexity as _ppl
+        from .perplexity import perplexity as _builtin_ppl, try_import_kenlm
+
+        # Real-model hook: a KenLM binary (kenlm package) or a text ARPA
+        # file (built-in arpa_lm reader, KenLM-identical scoring). Loaded
+        # ONCE at plan-build time on the driver; the parsed model rides the
+        # UDF closure to executors (small-model stance — multi-GB binaries
+        # belong to the kenlm mmap path, see arpa_lm.ArpaModel docstring).
+        _ppl = try_import_kenlm(cfg.kenlm_model_path) or _builtin_ppl
 
         @F.pandas_udf("double")
         def ppl_udf(s: pd.Series) -> pd.Series:

@@ -101,9 +101,11 @@ def stream_exact_dedup(
     """Streaming exact dedup over an ongoing crawl: one representative per
     content fingerprint, with state bounded by a watermark.
 
-    Uses ``dropDuplicatesWithinWatermark`` keyed on the xxhash64 content
-    fingerprint (the same fingerprint as dedup.exact_dedup, so batch and
-    streaming agree on what "identical" means). State design at 10^12-doc
+    Uses ``dropDuplicatesWithinWatermark`` keyed on the 128-bit composite
+    content fingerprint (the same two seeded xxhash64 halves as
+    dedup.exact_dedup, so batch and streaming agree on what "identical"
+    means — and share its collision stance: a single 64-bit key at
+    10^12 docs expects ~3e4 birthday merges). State design at 10^12-doc
     scale: unbounded cross-crawl dedup state would grow forever, so the
     stream only guarantees uniqueness among documents whose ``warc_ts``
     fall within the watermark window of each other — recrawl storms and
@@ -123,11 +125,13 @@ def stream_exact_dedup(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     pages = reader.parquet(input_dir)
 
+    norm = normalized_text(F.col("text"))
     deduped = (
-        pages.withColumn("_fp", F.xxhash64(normalized_text(F.col("text"))))
+        pages.withColumn("_fp1", F.xxhash64(norm))
+        .withColumn("_fp2", F.xxhash64(norm, F.lit(1)))
         .withWatermark("warc_ts", watermark)
-        .dropDuplicatesWithinWatermark(["_fp"])
-        .drop("_fp")
+        .dropDuplicatesWithinWatermark(["_fp1", "_fp2"])
+        .drop("_fp1", "_fp2")
     )
     query = (
         deduped.writeStream.format("parquet")
