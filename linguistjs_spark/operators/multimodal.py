@@ -4,9 +4,12 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 The image decode kernel is REAL when Pillow is importable
 (``real_image_decode_available``): PIL opens the bytes, reports true
 width/height, and the feature vector is a 16-bin normalized grayscale
-histogram — deterministic for a given image. Audio/video decode requires
-torchaudio/pyav, absent here, and stays an env-constrained stub. When no
-library is present, ``fake=True`` selects a deterministic byte-derived
+histogram — deterministic for a given image. Audio decode is REAL for
+PCM WAV payloads via the stdlib ``wave`` module (no external library:
+true sample rate / channels / frame count, 16-slice RMS-energy envelope
+feature); compressed audio codecs and video decode require
+torchaudio/pyav, absent here, and stay env-constrained stubs. When no
+real path applies, ``fake=True`` selects a deterministic byte-derived
 double so the Spark-side plumbing — schema, batching, partitioning, UDF
 signature — is real and tested end-to-end either way (VERDICT r02 item 9).
 """
@@ -58,16 +61,76 @@ def _decode_image_pil(media: bytes) -> dict:
     }
 
 
+def is_wav(media: bytes | None) -> bool:
+    """RIFF/WAVE magic sniff — the payloads the stdlib decoder handles."""
+    return (
+        media is not None
+        and len(media) >= 12
+        and media[:4] == b"RIFF"
+        and media[8:12] == b"WAVE"
+    )
+
+
+def _decode_audio_wav(media: bytes) -> dict:
+    """Real PCM WAV decode via the stdlib ``wave`` module: true sample
+    rate / channel count / frame count, and a 16-slice RMS-energy envelope
+    (each slice's root-mean-square amplitude, normalized by the loudest
+    slice) as the feature. Deterministic for a given payload. Field
+    mapping for audio: feat_width = sample rate (Hz), feat_height =
+    channels, frame_count = PCM frames. 24-bit PCM is rejected loudly
+    rather than mis-scored (numpy has no 3-byte dtype)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(media), "rb") as w:
+        n_ch, sampwidth, rate, n_frames = (
+            w.getnchannels(), w.getsampwidth(), w.getframerate(),
+            w.getnframes(),
+        )
+        pcm = w.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise NotImplementedError(
+            f"{sampwidth * 8}-bit PCM not supported by the stdlib decoder"
+        )
+    samples = np.frombuffer(pcm, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        samples -= 128.0  # 8-bit WAV is unsigned, centered at 128
+    if n_ch > 1:
+        samples = samples.reshape(-1, n_ch).mean(axis=1)  # downmix to mono
+    if samples.size == 0:
+        feat = [0.0] * 16
+    else:
+        slices = np.array_split(samples, 16)
+        rms = np.array([
+            np.sqrt((s * s).mean()) if s.size else 0.0 for s in slices
+        ])
+        peak = rms.max()
+        feat = [float(v / peak) if peak > 0 else 0.0 for v in rms]
+    return {
+        "n_bytes": len(media),
+        "feat_width": rate,
+        "feat_height": n_ch,
+        "frame_count": n_frames,
+        "feature": feat,
+    }
+
+
 def _decode_one(media: bytes, media_type: str, fake: bool) -> dict:
     if not fake:
         if media_type == "image" and real_image_decode_available():
             return _decode_image_pil(media)
-        # audio/video decode requires torchaudio / pyav — not available in
-        # this container (environment constraint; see module docstring)
+        if media_type == "audio" and is_wav(media):
+            return _decode_audio_wav(media)
+        # compressed audio / video decode requires torchaudio / pyav — not
+        # available in this container (environment constraint; see module
+        # docstring)
         raise NotImplementedError(
-            "real decode needs Pillow (images) or torchaudio/pyav "
-            "(audio/video); none importable here — pass fake=True for the "
-            "deterministic test double"
+            "real decode needs Pillow (images), a PCM WAV payload (audio), "
+            "or torchaudio/pyav (compressed audio / video); pass fake=True "
+            "for the deterministic test double"
         )
     # deterministic fake: features derived from byte content only
     n = len(media or b"")

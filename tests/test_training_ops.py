@@ -164,6 +164,61 @@ def test_media_real_pil_decode(spark):
     assert got[2].feature[15] == pytest.approx(1.0)
 
 
+def _wav_bytes(rate, n_ch, n_frames, sampwidth=2, loud_16th=None):
+    """Deterministic PCM WAV: silence, with one 16th of the timeline at
+    full square-wave amplitude when loud_16th is given (integer samples —
+    no float synthesis, so the payload is platform-exact)."""
+    import io
+    import wave
+
+    lo, hi = n_frames * (loud_16th or 0) // 16, n_frames * ((loud_16th or 0) + 1) // 16
+    amp = {1: 100, 2: 20000, 3: 2**22, 4: 2**30}[sampwidth]
+    frames = bytearray()
+    for i in range(n_frames):
+        v = (amp if i % 2 else -amp) if (loud_16th is not None and lo <= i < hi) else 0
+        if sampwidth == 1:
+            v = v + 128  # 8-bit WAV is unsigned
+        frames += int(v).to_bytes(sampwidth, "little", signed=(sampwidth != 1)) * n_ch
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_ch)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_media_real_wav_decode(spark):
+    # audio decode is real for PCM WAV via the stdlib wave module: true
+    # rate/channels/frames, and the 16-slice RMS envelope localizes energy
+    from linguistjs_spark.operators.multimodal import MEDIA_SCHEMA, is_wav
+
+    rows = [
+        (1, _wav_bytes(8000, 1, 1600, sampwidth=2, loud_16th=3), "audio",
+         None, None, None),
+        (2, _wav_bytes(16000, 2, 320, sampwidth=1, loud_16th=None), "audio",
+         None, None, None),
+    ]
+    assert all(is_wav(r[1]) for r in rows)
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r.doc_id: r for r in
+           extract_media_features(media, fake=False).collect()}
+    assert (got[1].feat_width, got[1].feat_height, got[1].frame_count) == \
+        (8000, 1, 1600)
+    assert (got[2].feat_width, got[2].feat_height, got[2].frame_count) == \
+        (16000, 2, 320)
+    f1 = got[1].feature
+    assert len(f1) == 16 and f1[3] == pytest.approx(1.0)
+    assert all(v == 0.0 for i, v in enumerate(f1) if i != 3)
+    assert got[2].feature == [0.0] * 16  # pure silence
+    # 24-bit PCM fails loud rather than mis-scoring (no numpy 3-byte dtype)
+    bad = spark.createDataFrame(
+        [(3, _wav_bytes(8000, 1, 32, sampwidth=3), "audio", None, None, None)],
+        schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="24-bit"):
+        extract_media_features(bad, fake=False).collect()
+
+
 def test_resumable_run_idempotent(spark, tmp_path):
     from linguistjs_spark.streaming.resume import read_labels, resumable_run
     from linguistjs_spark.sources.pages import pages_df
