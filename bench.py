@@ -470,7 +470,18 @@ def main() -> None:
     host_by_cores: dict = {}
     n_scale_docs = None
     pair_ns = sorted({SCALE_N, SCALE_N * 2})
-    scale_cores = sorted({n for p in pair_ns for n in (p, p * 4)})
+    # Each pair's N and 4N legs run back-to-back, NOT in sorted core order:
+    # the host's effective memory bandwidth drifts in multi-minute epochs
+    # that steal%/sys% cannot see (observed r4: the same local[8] leg read
+    # 53-78 s across three otherwise-clean runs), and an epoch shift
+    # between a pair's legs skews its ratio either way. Adjacency keeps
+    # both legs of a ratio inside one epoch window; min-of-two per leg
+    # still handles short bursts.
+    scale_cores = []
+    for p in pair_ns:
+        for n in (p, p * 4):
+            if n not in scale_cores:
+                scale_cores.append(n)
     # high-core monotonicity evidence (VERDICT r03 item 1): run the SAME
     # 640k-doc job at the driver's core count too, so the artifact itself
     # shows local[16] -> local[32] is monotonic (>= 1.0x) rather than the

@@ -62,6 +62,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="input is a directory of .warc/.warc.gz segment "
                          "files (Common Crawl layout) instead of a pages "
                          "parquet; implies --extract-html")
+    ap.add_argument("--ppl-model", default=None, metavar="PATH",
+                    help="score perplexity with a model file: a KenLM "
+                         "binary (kenlm package) or a text ARPA file "
+                         "(built-in reader); enables the ppl stage")
+    ap.add_argument("--max-perplexity", type=float, default=None,
+                    help="drop documents scoring above this perplexity "
+                         "(enables the ppl stage with the embedded model "
+                         "unless --ppl-model is also given)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -83,6 +91,11 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["categories"] = tuple(args.categories.split(","))
     if args.ignored_languages:
         cfg_kwargs["ignored_languages"] = tuple(args.ignored_languages.split(","))
+    if args.ppl_model or args.max_perplexity is not None:
+        cfg_kwargs["compute_perplexity"] = True
+        cfg_kwargs["kenlm_model_path"] = args.ppl_model
+        if args.max_perplexity is not None:
+            cfg_kwargs["max_perplexity"] = args.max_perplexity
     cfg = QualityFilterConfig(**cfg_kwargs)
 
     spark = (
