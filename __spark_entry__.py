@@ -797,6 +797,25 @@ def q_events_by_type_day(spark, sf_dir):
     )
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing over documents (packing.py):
+    per-bucket window cumsum assigns every doc a (bucket, pack_id) slot in
+    a 512-token training sequence; the rollup pins doc/token/pack totals,
+    straddling-doc counts, and an order-sensitive sum(pack_id*doc_id)
+    checksum so the oracle verifies every document's assignment, not just
+    totals. Buckets are doc_id % 32 here (oracle-expressible; production
+    default is xxhash64). Registered past the driver's 50-row recording
+    cap — verified by the same pytest Spark-vs-DuckDB sweep as every row
+    (tests/test_entry_queries.py)."""
+    from linguistjs_spark.operators import packing as PK
+
+    packed = PK.pack_sequences(
+        _docs(spark, sf_dir), max_tokens=512, n_buckets=32,
+        bucket_col=F.col("doc_id") % 32,
+    )
+    return PK.packing_summary(packed, 512)
+
+
 def q_lineitem_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -1476,9 +1495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "lang_mismatch": q_lang_mismatch,
         "duplicated_spans": q_duplicated_spans,
-        # -- past the driver's 50-row recording cap (pytest-verified only;
-        #    plain single-table aggregations, shape covered by green rows
-        #    above) --
+        # -- past the driver's 50-row recording cap (pytest-verified only:
+        #    tests/test_entry_queries.py sweeps every oracle_sql entry) --
+        "sequence_packing": q_sequence_packing,
         "lineitem_summary": q_lineitem_summary,
         "events_by_type_day": q_events_by_type_day,
     }
@@ -2404,6 +2423,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events GROUP BY 1, 2"
         ),
+        "sequence_packing": """
+WITH t AS (
+  SELECT doc_id, doc_id % 32 AS bucket,
+         COALESCE(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')), 0) AS n_tok
+  FROM documents),
+p AS (
+  SELECT doc_id, bucket, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM t)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tok) - 1) / 512) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN GREATEST(FLOOR(o / 512),
+                     FLOOR((o + n_tok - 1) / 512)) > FLOOR(o / 512)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+       CAST(SUM(FLOOR(o / 512) * doc_id) AS BIGINT) AS assign_checksum
+FROM p GROUP BY bucket
+""",
         "lineitem_summary": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, "
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
