@@ -243,6 +243,86 @@ def minhash_dedup_pairs(
     return jaccard_verify(pairs, sigs, id_col, threshold)
 
 
+def _banded(sigs: DataFrame, id_col: str, out_name: str,
+            bands: int, rows_per_band: int) -> DataFrame:
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
+                F.lit(i),
+            )
+            for i in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col).alias(out_name),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
+    )
+
+
+def cross_corpus_near_dup(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Corpus documents near-duplicated in a REFERENCE corpus — the
+    "dedup the new crawl against the existing training set" operation
+    (near-dup analog of eval-set decontamination, decontam.py). Returns
+    one row per matched corpus doc: ``(id, ref_id, jaccard)`` of its best
+    reference match (ties broken toward the smallest reference id, so the
+    output is deterministic).
+
+    Scale shape: both sides are banded and candidates come from ONE
+    (band_idx, band_hash) equi-join — never corpus × reference. Exact
+    Jaccard runs on candidates only; exact copies share every band, so
+    their recall is 1 by construction, and near-dups get the standard
+    1-(1-s^r)^b LSH recall curve. Neither corpus is ever shuffled whole:
+    signatures (num_hashes longs/doc) are the join inputs, and the
+    reference — typically the bigger side at 10^12 docs — contributes
+    nothing else."""
+    rows_per_band = num_hashes // bands
+    sig_c = with_minhash(corpus, id_col, text_col, k, num_hashes)
+    sig_r = with_minhash(reference, id_col, text_col, k, num_hashes)
+    cands = (
+        _banded(sig_c, id_col, "_cid", bands, rows_per_band)
+        .join(
+            _banded(sig_r, id_col, "_rid", bands, rows_per_band),
+            ["band_idx", "band_hash"],
+        )
+        .select("_cid", "_rid")
+        .distinct()
+    )
+    joined = cands.join(
+        sig_c.select(F.col(id_col).alias("_cid"), F.col("shingles").alias("_sh_c")),
+        "_cid",
+    ).join(
+        sig_r.select(F.col(id_col).alias("_rid"), F.col("shingles").alias("_sh_r")),
+        "_rid",
+    )
+    inter = F.size(F.array_intersect("_sh_c", "_sh_r"))
+    union = F.size(F.array_union("_sh_c", "_sh_r"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    best = F.max(
+        F.struct(F.col("jaccard").alias("j"), (-F.col("_rid")).alias("neg_ref"))
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("_cid")
+        .agg(best.alias("_b"))
+        .select(
+            F.col("_cid").alias(id_col),
+            (-F.col("_b.neg_ref")).alias("ref_id"),
+            F.col("_b.j").alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -49,6 +49,26 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert len(hits) == 1 and hits[0]["jaccard"] >= 0.6
 
 
+def test_cross_corpus_near_dup(spark, docs):
+    # reference carries: an exact twin of doc 0 (two copies, testing the
+    # smallest-ref-id tie-break), a lightly mutated twin of doc 1 (near-dup
+    # above threshold), and an unrelated doc — which must NOT match
+    base0 = docs.filter("doc_id = 0").collect()[0]["text"]
+    base1 = docs.filter("doc_id = 1").collect()[0]["text"]
+    ref_rows = [
+        (100, base0), (101, base0),          # exact twins, tie -> ref 100
+        (102, base1 + " tail tail"),          # near-dup of doc 1
+        (103, "completely unrelated reference words " * 10),
+    ]
+    reference = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id < 5").select("doc_id", "text")
+    got = {r.doc_id: r for r in DD.cross_corpus_near_dup(
+        corpus, reference, threshold=0.6).collect()}
+    assert got[0].ref_id == 100 and got[0].jaccard == 1.0  # tie-break
+    assert got[1].ref_id == 102 and 0.6 <= got[1].jaccard < 1.0
+    assert set(got) == {0, 1}  # docs 2-4 match nothing
+
+
 def test_minhash_verify_matches_exact_jaccard(spark, docs):
     # LSH-surfaced pairs carry the EXACT shingle Jaccard (verified join)
     sigs = DD.with_minhash(docs.limit(50))
