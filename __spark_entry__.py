@@ -1357,6 +1357,32 @@ def q_fitted_perplexity(spark, sf_dir):
     return docs.select("doc_id", score(F.col("text")).alias("ppl"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet pipeline composition (Wenzek et al. 2020): fit the LM on the
+    corpus, score every doc, split each language into head/middle/tail
+    perplexity terciles, roll up docs+bytes per (lang, bucket). Uses the
+    operator's exact NTILE mode so the DuckDB oracle (numpy-twin scores as
+    literal VALUES + the same window) restates it verbatim; the operator's
+    default mode is the threshold/broadcast scale path (no per-language
+    sort), pinned against this mode in tests/test_perplexity.py."""
+    from linguistjs_spark.perplexity import (
+        ccnet_ppl_buckets, fit_char_bigram_table, fitted_perplexity_udf)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    table = fit_char_bigram_table(docs)
+    score = fitted_perplexity_udf(table)
+    scored = docs.select(
+        "doc_id", "lang",
+        F.octet_length("text").cast("long").alias("b"),
+        score(F.col("text")).alias("ppl"),
+    )
+    return (
+        ccnet_ppl_buckets(scored, exact=True)
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n_docs"), F.sum("b").cast("long").alias("bytes"))
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     # C4 line-level cleaning (keep lines with >=3 words ending in terminal
     # punctuation), compared byte-exactly via md5 of the rewritten text.
@@ -1474,10 +1500,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unknown_rollup": q_unknown_rollup,
         "minsize_other": q_minsize_other,
         "top_langs": q_top_langs,
-        "shingle_stats": q_shingle_stats,
-        # cross_corpus_dedup holds this recorded slot; jaccard_pairs —
-        # whose exact-Jaccard machinery stays driver-recorded through
-        # minhash_pairs AND cross_corpus_dedup — moved past the cap.
+        # New ops hold these two recorded slots (VERDICT r03 item 3
+        # precedent); jaccard_pairs and shingle_stats — whose exact-Jaccard
+        # and shingle kernels stay driver-recorded through minhash_pairs
+        # and cross_corpus_dedup — moved past the cap.
+        "ccnet_buckets": q_ccnet_buckets,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "user_sessions": q_user_sessions,
         "event_rate_windows": q_event_rate_windows,
@@ -1520,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": q_duplicated_spans,
         # -- past the driver's 50-row recording cap (pytest-verified only:
         #    tests/test_entry_queries.py sweeps every oracle_sql entry) --
+        "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "doc_length_quantiles": q_doc_length_quantiles,
         "lineitem_summary": q_lineitem_summary,
@@ -1663,6 +1691,42 @@ def _fitted_perplexity_oracle_sql() -> str:
         "FROM (VALUES {values}) t(d, p)",
         "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS DOUBLE) ppl "
         "WHERE FALSE",
+    )
+
+
+def _ccnet_buckets_oracle_sql() -> str:
+    # numpy-twin scores as literal VALUES (float-exact, same stance as
+    # fitted_perplexity), then the identical NTILE window in DuckDB.
+    import duckdb
+
+    from linguistjs_spark.perplexity import (
+        fit_char_bigram_table_local, perplexity_with_table)
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    table = fit_char_bigram_table_local(t for _, t in rows)
+    vals = [(d, perplexity_with_table(table, t)) for d, t in rows]
+    return _values_sql(
+        vals,
+        """
+        WITH p AS (SELECT CAST(d AS BIGINT) AS doc_id, CAST(pp AS DOUBLE)
+                     AS ppl FROM (VALUES {values}) t(d, pp)),
+        j AS (SELECT d.lang, strlen(d.text) AS b,
+                     NTILE(3) OVER (PARTITION BY d.lang
+                                    ORDER BY p.ppl, d.doc_id) AS tier
+              FROM documents d JOIN p USING (doc_id))
+        SELECT lang,
+               CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               COUNT(*) AS n_docs, CAST(SUM(b) AS BIGINT) AS bytes
+        FROM j GROUP BY lang, bucket
+        """,
+        "SELECT CAST(NULL AS VARCHAR) lang, CAST(NULL AS VARCHAR) bucket, "
+        "CAST(NULL AS BIGINT) n_docs, CAST(NULL AS BIGINT) bytes WHERE FALSE",
     )
 
 
@@ -2517,6 +2581,7 @@ FROM p GROUP BY bucket
         "html_extract": _html_extract_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "training_mix": _training_mix_oracle_sql(),
+        "ccnet_buckets": _ccnet_buckets_oracle_sql(),
         "warc_roundtrip": """
 SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
          AS url,

@@ -131,3 +131,40 @@ def test_real_kenlm_loads_exported_arpa(tmp_path):
     scorer = try_import_kenlm(p)
     assert scorer is not None
     assert scorer("the quick brown fox") > 0
+
+
+def test_ccnet_buckets_exact_vs_scale(spark):
+    """The threshold/broadcast scale path must agree with the exact NTILE
+    path on every doc except ties at the tercile boundaries (the approx-
+    percentile contract); with distinct perplexities and counts divisible
+    by 3 the two are identical."""
+    import pyspark.sql.functions as F
+
+    from linguistjs_spark.perplexity import ccnet_ppl_buckets
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", float(10 + i)) for i in range(60)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl double")
+    exact = {r.doc_id: r.bucket
+             for r in ccnet_ppl_buckets(scored, exact=True).collect()}
+    scale = {r.doc_id: r.bucket
+             for r in ccnet_ppl_buckets(scored, exact=False).collect()}
+    assert exact == scale
+    # each language splits 30 docs into 10/10/10
+    from collections import Counter
+    per_lang = Counter((r[1], exact[r[0]]) for r in rows)
+    assert all(v == 10 for v in per_lang.values())
+
+
+def test_ccnet_buckets_plan_scale_path_has_no_sort(spark):
+    """The scale path must not sort within languages — its plan is an
+    aggregate + broadcast join, the exact path's is a window sort."""
+    from linguistjs_spark.perplexity import ccnet_ppl_buckets
+    from linguistjs_spark.plans.explain_utils import formatted_plan
+
+    scored = spark.range(100).selectExpr(
+        "id AS doc_id", "CAST(id % 3 AS STRING) AS lang",
+        "CAST(id AS DOUBLE) AS ppl")
+    scale_plan = formatted_plan(ccnet_ppl_buckets(scored, exact=False))
+    exact_plan = formatted_plan(ccnet_ppl_buckets(scored, exact=True))
+    assert "BroadcastHashJoin" in scale_plan and "Window" not in scale_plan
+    assert "Window" in exact_plan
