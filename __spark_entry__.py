@@ -1383,6 +1383,51 @@ def q_ccnet_buckets(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """The published Gopher document-quality signal set (Rae et al. 2021,
+    Table A1) per document: bullet/ellipsis line ratios, alpha-word ratio,
+    stopword hits, #/ellipsis symbol ratio, and the first-failing-rule drop
+    reason. Pure whole-text regexp_count scans — no array materialization
+    except the stopword membership probe; oracle is a literal DuckDB
+    restatement over list_filter (same counts, same double divisions)."""
+    from linguistjs_spark.operators import gopher as G
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        G.bullet_line_ratio_col(t).alias("bullet_ratio"),
+        G.ellipsis_line_ratio_col(t).alias("ellipsis_ratio"),
+        G.alpha_word_ratio_col(t).alias("alpha_ratio"),
+        G.stopword_hits_col(t).cast("long").alias("stop_hits"),
+        G.hash_ellipsis_word_ratio_col(t).alias("sym_ratio"),
+        G.gopher_quality_drop_reason_col(t).alias("drop_reason"),
+    )
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """The Gopher repetition signal suite per document: duplicate
+    line/paragraph character fractions, duplicate-paragraph fraction,
+    top-3/4-gram char fractions, and overlap-aware duplicate-5/10-gram
+    coverage (interval-merge fold — chars under overlapping duplicate
+    grams counted once). Sorted-array run folds inside codegen; the oracle
+    is the bit-exact python twin as literal VALUES."""
+    from linguistjs_spark.operators import gopher as G
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        G.dup_line_char_ratio_col(t).alias("dup_line_chars"),
+        G.dup_paragraph_ratio_col(t).alias("dup_paras"),
+        G.dup_paragraph_char_ratio_col(t).alias("dup_para_chars"),
+        G.top_ngram_char_ratio_col(t, 3).alias("top3"),
+        G.top_ngram_char_ratio_col(t, 4).alias("top4"),
+        G.dup_ngram_char_ratio_col(t, 5).alias("dup5"),
+        G.dup_ngram_char_ratio_col(t, 10).alias("dup10"),
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     # C4 line-level cleaning (keep lines with >=3 words ending in terminal
     # punctuation), compared byte-exactly via md5 of the rewritten text.
@@ -1515,9 +1560,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "ann_topk": q_ann_topk,
         "langid_dist": q_langid_dist,
-        "shipped_revenue_window": q_shipped_revenue_window,
+        # gopher_quality/gopher_repetition hold these two recorded slots
+        # (same precedent); shipped_revenue_window and orders_no_lineitem
+        # — whose window-top-k and left-anti plan shapes stay asserted in
+        # tests/test_plans.py, and whose join class stays driver-recorded
+        # through revenue_by_nation and top_docs_per_lang — moved past
+        # the cap.
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
         "revenue_by_nation": q_revenue_by_nation,
-        "orders_no_lineitem": q_orders_no_lineitem,
         "top_docs_per_lang": q_top_docs_per_lang,
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -1549,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tests/test_entry_queries.py sweeps every oracle_sql entry) --
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
+        "shipped_revenue_window": q_shipped_revenue_window,
+        "orders_no_lineitem": q_orders_no_lineitem,
         "doc_length_quantiles": q_doc_length_quantiles,
         "lineitem_summary": q_lineitem_summary,
         "events_by_type_day": q_events_by_type_day,
@@ -1727,6 +1780,94 @@ def _ccnet_buckets_oracle_sql() -> str:
         """,
         "SELECT CAST(NULL AS VARCHAR) lang, CAST(NULL AS VARCHAR) bucket, "
         "CAST(NULL AS BIGINT) n_docs, CAST(NULL AS BIGINT) bytes WHERE FALSE",
+    )
+
+
+_GOPHER_QUALITY_SQL = r"""
+WITH s AS (
+  SELECT doc_id, text,
+         string_split_regex(text, '\r?\n') AS lines,
+         list_filter(string_split_regex(text, '[ \t\r\n\f\x0B]+'),
+                     x -> x <> '') AS words,
+         list_filter(string_split_regex(lower(text), '[ \t\r\n\f\x0B]+'),
+                     x -> x <> '') AS lwords
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(words) AS nw,
+         len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•‣▪]')))
+           / len(lines) AS bullet_ratio,
+         len(list_filter(lines,
+                         l -> regexp_matches(l, '(\.\.\.|…)[ \t\r]*$')))
+           / len(lines) AS ellipsis_ratio,
+         CASE WHEN len(words) = 0 THEN 0.0 ELSE
+           len(list_filter(words, w -> regexp_matches(w, '\p{L}')))
+             / len(words) END AS alpha_ratio,
+         CAST(len(list_filter(
+                ['the','be','to','of','and','that','have','with'],
+                g -> list_contains(lwords, g))) AS BIGINT) AS stop_hits,
+         CASE WHEN len(words) = 0 THEN 0.0 ELSE
+           (length(text) - length(replace(text, '#', ''))
+            + len(regexp_extract_all(text, '(\.\.\.|…)')))
+             / len(words) END AS sym_ratio,
+         CASE WHEN len(words) = 0 THEN 0.0 ELSE
+           CASE WHEN len(words) = 0 THEN 0
+                ELSE list_sum(list_transform(words, x -> length(x))) END
+             / len(words) END AS mean_wl
+  FROM s
+)
+SELECT doc_id, bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits,
+       sym_ratio,
+       CASE WHEN nw < 50 OR nw > 100000 THEN 'gopher-words'
+            WHEN NOT (mean_wl BETWEEN 3.0 AND 10.0) THEN 'gopher-word-length'
+            WHEN sym_ratio > 0.1 THEN 'gopher-symbols'
+            WHEN bullet_ratio > 0.9 THEN 'gopher-bullets'
+            WHEN ellipsis_ratio > 0.3 THEN 'gopher-ellipsis'
+            WHEN alpha_ratio < 0.8 THEN 'gopher-alpha'
+            WHEN stop_hits < 2 THEN 'gopher-stopwords'
+            ELSE NULL END AS drop_reason
+FROM f
+"""
+
+
+def _gopher_repetition_oracle_sql() -> str:
+    # bit-exact python twins (operators/gopher.py *_py) as literal VALUES —
+    # the fitted_perplexity stance: same integer counts, same double
+    # divisions, repr() round-trips the doubles.
+    import duckdb
+
+    from linguistjs_spark.operators import gopher as G
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vals = [
+        (
+            d,
+            G.dup_line_char_ratio_py(t),
+            G.dup_paragraph_ratio_py(t),
+            G.dup_paragraph_char_ratio_py(t),
+            G.top_ngram_char_ratio_py(t, 3),
+            G.top_ngram_char_ratio_py(t, 4),
+            G.dup_ngram_char_ratio_py(t, 5),
+            G.dup_ngram_char_ratio_py(t, 10),
+        )
+        for d, t in rows
+    ]
+    cols = ("dup_line_chars", "dup_paras", "dup_para_chars", "top3", "top4",
+            "dup5", "dup10")
+    vnames = [f"v{i}" for i in range(1, len(cols) + 1)]
+    casts = ", ".join(f"CAST({v} AS DOUBLE) AS {name}"
+                      for v, name in zip(vnames, cols))
+    nulls = ", ".join(f"CAST(NULL AS DOUBLE) {name}" for name in cols)
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, " + casts +
+        " FROM (VALUES {values}) t(d, " + ", ".join(vnames) + ")",
+        f"SELECT CAST(NULL AS BIGINT) doc_id, {nulls} WHERE FALSE",
     )
 
 
@@ -2582,6 +2723,8 @@ FROM p GROUP BY bucket
         "stratified_sample": _stratified_sample_oracle_sql(),
         "training_mix": _training_mix_oracle_sql(),
         "ccnet_buckets": _ccnet_buckets_oracle_sql(),
+        "gopher_quality": _GOPHER_QUALITY_SQL,
+        "gopher_repetition": _gopher_repetition_oracle_sql(),
         "warc_roundtrip": """
 SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
          AS url,
