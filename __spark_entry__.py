@@ -1428,6 +1428,39 @@ def q_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_quality_funnel(spark, sf_dir):
+    """The quality-filter tier's flagship composition as ONE job: every
+    document is attributed to its FIRST failing stage — the Gopher quality
+    rule chain (7 named reasons), then the Gopher repetition thresholds,
+    then exact-dup (md5 byte identity, min-doc_id winner) — and the funnel
+    rolls up docs + bytes per stage. Plan shape: one scan, one window
+    shuffle (md5 partition for the dup winner), one map-side-combined
+    rollup; every signal is codegen-native Column algebra. Stage order is
+    the 100-TB order: cheap whole-text scans first, the dedup shuffle only
+    decides docs the scans kept."""
+    from pyspark.sql import Window
+
+    from linguistjs_spark.operators import gopher as G
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    t = F.col("text")
+    first_id = F.min("doc_id").over(Window.partitionBy(F.md5(t)))
+    # multilingual gating + corpus-scale word floor (published thresholds
+    # are English-corpus values; the synthetic docs average ~54 words)
+    stage = F.coalesce(
+        G.gopher_quality_drop_reason_col(t, lang=F.col("lang"), min_words=20),
+        F.when(G.gopher_repetition_exceeds_col(t), "gopher-repetition"),
+        F.when(F.col("doc_id") != first_id, "exact-dup"),
+        F.lit("keep"),
+    )
+    return (
+        docs.select(stage.alias("stage"),
+                    F.octet_length(t).cast("long").alias("b"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_docs"), F.sum("b").alias("bytes"))
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     # C4 line-level cleaning (keep lines with >=3 words ending in terminal
     # punctuation), compared byte-exactly via md5 of the rewritten text.
@@ -1568,6 +1601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cap.
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
+        # quality_funnel (the tier's flagship composition) takes the slot
+        # of domain_rollup — a plain groupBy rollup whose URL-ops family
+        # stays driver-recorded through url_canonical and url_dedup.
+        "quality_funnel": q_quality_funnel,
         "revenue_by_nation": q_revenue_by_nation,
         "top_docs_per_lang": q_top_docs_per_lang,
         "pipeline_labels": q_pipeline_labels,
@@ -1584,7 +1621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
-        "domain_rollup": q_domain_rollup,
         "stratified_sample": q_stratified_sample,
         "dsir_scores": q_dsir_scores,
         "training_mix": q_training_mix,
@@ -1602,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
         "orders_no_lineitem": q_orders_no_lineitem,
+        "domain_rollup": q_domain_rollup,
         "doc_length_quantiles": q_doc_length_quantiles,
         "lineitem_summary": q_lineitem_summary,
         "events_by_type_day": q_events_by_type_day,
@@ -1783,9 +1820,9 @@ def _ccnet_buckets_oracle_sql() -> str:
     )
 
 
-_GOPHER_QUALITY_SQL = r"""
+_GOPHER_QUALITY_SQL_TEMPLATE = r"""
 WITH s AS (
-  SELECT doc_id, text,
+  SELECT doc_id, lang, text,
          string_split_regex(text, '\r?\n') AS lines,
          list_filter(string_split_regex(text, '[ \t\r\n\f\x0B]+'),
                      x -> x <> '') AS words,
@@ -1793,7 +1830,7 @@ WITH s AS (
                      x -> x <> '') AS lwords
   FROM documents
 ), f AS (
-  SELECT doc_id,
+  SELECT doc_id, lang,
          len(words) AS nw,
          len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•‣▪]')))
            / len(lines) AS bullet_ratio,
@@ -1818,16 +1855,27 @@ WITH s AS (
 )
 SELECT doc_id, bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits,
        sym_ratio,
-       CASE WHEN nw < 50 OR nw > 100000 THEN 'gopher-words'
+       CASE WHEN nw < {min_words} OR nw > 100000 THEN 'gopher-words'
             WHEN NOT (mean_wl BETWEEN 3.0 AND 10.0) THEN 'gopher-word-length'
             WHEN sym_ratio > 0.1 THEN 'gopher-symbols'
             WHEN bullet_ratio > 0.9 THEN 'gopher-bullets'
             WHEN ellipsis_ratio > 0.3 THEN 'gopher-ellipsis'
             WHEN alpha_ratio < 0.8 THEN 'gopher-alpha'
-            WHEN stop_hits < 2 THEN 'gopher-stopwords'
+            WHEN {stop_gate}stop_hits < 2 THEN 'gopher-stopwords'
             ELSE NULL END AS drop_reason
 FROM f
 """
+
+def _gopher_quality_sql(min_words: int = 50, lang_gate: bool = False) -> str:
+    # plain .replace, NOT .format — the template's \p{L} regex would trip
+    # format's brace parsing
+    return _GOPHER_QUALITY_SQL_TEMPLATE.replace(
+        "{min_words}", str(min_words)
+    ).replace("{stop_gate}", "lang = 'en' AND " if lang_gate else "")
+
+
+# standalone gopher_quality query: published defaults, no lang gate
+_GOPHER_QUALITY_SQL = _gopher_quality_sql()
 
 
 def _gopher_repetition_oracle_sql() -> str:
@@ -1869,6 +1917,48 @@ def _gopher_repetition_oracle_sql() -> str:
         " FROM (VALUES {values}) t(d, " + ", ".join(vnames) + ")",
         f"SELECT CAST(NULL AS BIGINT) doc_id, {nulls} WHERE FALSE",
     )
+
+
+def _quality_funnel_oracle_sql() -> str:
+    # hybrid restatement: the quality rule chain is the literal-SQL gopher
+    # CTE; the repetition verdicts are the bit-exact python twin as VALUES
+    # (0/1); the dup winner and the rollup are plain SQL windows/groupBy.
+    import duckdb
+
+    from linguistjs_spark.operators import gopher as G
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    if not rows:
+        return (
+            "SELECT CAST(NULL AS VARCHAR) stage, CAST(NULL AS BIGINT) "
+            "n_docs, CAST(NULL AS BIGINT) bytes WHERE FALSE"
+        )
+    values = ", ".join(
+        f"({d}, {1 if G.gopher_repetition_exceeds_py(t) else 0})"
+        for d, t in rows
+    )
+    return f"""
+WITH gq AS ({_gopher_quality_sql(min_words=20, lang_gate=True)}),
+rep AS (SELECT CAST(d AS BIGINT) AS doc_id, v = 1 AS rx
+        FROM (VALUES {values}) t(d, v)),
+base AS (SELECT doc_id, strlen(text) AS b,
+                MIN(doc_id) OVER (PARTITION BY md5(text)) AS first_id
+         FROM documents),
+f AS (SELECT COALESCE(gq.drop_reason,
+                      CASE WHEN rep.rx THEN 'gopher-repetition' END,
+                      CASE WHEN base.doc_id <> base.first_id
+                           THEN 'exact-dup' END,
+                      'keep') AS stage,
+             base.b
+      FROM base JOIN gq USING (doc_id) JOIN rep USING (doc_id))
+SELECT stage, COUNT(*) AS n_docs, CAST(SUM(b) AS BIGINT) AS bytes
+FROM f GROUP BY stage
+"""
 
 
 def _stratified_sample_oracle_sql() -> str:
@@ -2725,6 +2815,7 @@ FROM p GROUP BY bucket
         "ccnet_buckets": _ccnet_buckets_oracle_sql(),
         "gopher_quality": _GOPHER_QUALITY_SQL,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
+        "quality_funnel": _quality_funnel_oracle_sql(),
         "warc_roundtrip": """
 SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
          AS url,

@@ -494,17 +494,74 @@ GOPHER_THRESHOLDS = {
 }
 
 
-def gopher_quality_drop_reason_col(text: Column) -> Column:
+#: Gopher Table A1 repetition thresholds over the signals this module
+#: computes (doc dropped when ANY ratio exceeds its bound).
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_chars": 0.20,
+    "dup_paras": 0.30,
+    "dup_para_chars": 0.20,
+    "top3": 0.18,
+    "top4": 0.16,
+    "dup5": 0.15,
+    "dup10": 0.10,
+}
+
+
+def gopher_repetition_exceeds_col(text: Column) -> Column:
+    """True when any Gopher repetition signal exceeds its published
+    threshold. One expression tree per row (all signals, short-circuit is
+    left to codegen); at 100 TB run this only on survivors of the cheap
+    quality scans."""
+    t = GOPHER_REPETITION_THRESHOLDS
+    return (
+        (dup_line_char_ratio_col(text) > t["dup_line_chars"])
+        | (dup_paragraph_ratio_col(text) > t["dup_paras"])
+        | (dup_paragraph_char_ratio_col(text) > t["dup_para_chars"])
+        | (top_ngram_char_ratio_col(text, 3) > t["top3"])
+        | (top_ngram_char_ratio_col(text, 4) > t["top4"])
+        | (dup_ngram_char_ratio_col(text, 5) > t["dup5"])
+        | (dup_ngram_char_ratio_col(text, 10) > t["dup10"])
+    )
+
+
+def gopher_repetition_exceeds_py(text: str) -> bool:
+    t = GOPHER_REPETITION_THRESHOLDS
+    return (
+        dup_line_char_ratio_py(text) > t["dup_line_chars"]
+        or dup_paragraph_ratio_py(text) > t["dup_paras"]
+        or dup_paragraph_char_ratio_py(text) > t["dup_para_chars"]
+        or top_ngram_char_ratio_py(text, 3) > t["top3"]
+        or top_ngram_char_ratio_py(text, 4) > t["top4"]
+        or dup_ngram_char_ratio_py(text, 5) > t["dup5"]
+        or dup_ngram_char_ratio_py(text, 10) > t["dup10"]
+    )
+
+
+def gopher_quality_drop_reason_col(
+    text: Column,
+    lang: Column | None = None,
+    min_words: int | None = None,
+) -> Column:
     """The published Gopher document-quality rule chain as ONE case
     expression (first failing rule names the drop; NULL = keep). The
     repetition rules live in the separate *_char_ratio columns — at 100 TB
-    you compute those only for survivors of these cheap scans."""
+    you compute those only for survivors of these cheap scans.
+
+    ``lang``: when given, the (English) 8-stopword rule fires only where
+    ``lang = 'en'`` — the standard multilingual gating (Gopher itself is an
+    English-corpus pipeline). ``min_words`` overrides the published floor
+    (e.g. a short-document corpus); all other thresholds stay Table A1."""
     t = GOPHER_THRESHOLDS
+    if min_words is None:
+        min_words = t["min_words"]
     n = _n_words(text)
     mean_wl = F.when(n > 0, _word_chars(text) / n).otherwise(F.lit(0.0))
+    stop_rule = stopword_hits_col(text) < t["min_stopword_hits"]
+    if lang is not None:
+        stop_rule = (lang == F.lit("en")) & stop_rule
     return (
         F.when(
-            (n < t["min_words"]) | (n > t["max_words"]), F.lit("gopher-words")
+            (n < min_words) | (n > t["max_words"]), F.lit("gopher-words")
         )
         .when(
             ~mean_wl.between(t["min_mean_word_len"], t["max_mean_word_len"]),
@@ -527,20 +584,21 @@ def gopher_quality_drop_reason_col(text: Column) -> Column:
             alpha_word_ratio_col(text) < t["min_alpha_word_ratio"],
             F.lit("gopher-alpha"),
         )
-        .when(
-            stopword_hits_col(text) < t["min_stopword_hits"],
-            F.lit("gopher-stopwords"),
-        )
+        .when(stop_rule, F.lit("gopher-stopwords"))
         .otherwise(F.lit(None).cast("string"))
     )
 
 
-def gopher_quality_drop_reason_py(text: str) -> str | None:
+def gopher_quality_drop_reason_py(
+    text: str, lang: str | None = None, min_words: int | None = None
+) -> str | None:
     t = GOPHER_THRESHOLDS
+    if min_words is None:
+        min_words = t["min_words"]
     words = _py_words(text)
     n = len(words)
     mean_wl = (sum(len(w) for w in words) / n) if n else 0.0
-    if n < t["min_words"] or n > t["max_words"]:
+    if n < min_words or n > t["max_words"]:
         return "gopher-words"
     if not (t["min_mean_word_len"] <= mean_wl <= t["max_mean_word_len"]):
         return "gopher-word-length"
@@ -552,6 +610,8 @@ def gopher_quality_drop_reason_py(text: str) -> str | None:
         return "gopher-ellipsis"
     if alpha_word_ratio_py(text) < t["min_alpha_word_ratio"]:
         return "gopher-alpha"
-    if stopword_hits_py(text) < t["min_stopword_hits"]:
+    if (lang is None or lang == "en") and (
+        stopword_hits_py(text) < t["min_stopword_hits"]
+    ):
         return "gopher-stopwords"
     return None

@@ -203,6 +203,7 @@ def test_fuzz_repetition_vs_twin(spark, batch):
             lambda t: G.top_ngram_char_ratio_col(t, 3).alias("t3"),
             lambda t: G.dup_ngram_char_ratio_col(t, 2).alias("g2"),
             lambda t: G.dup_ngram_char_ratio_col(t, 5).alias("g5"),
+            lambda t: G.gopher_repetition_exceeds_col(t).alias("rx"),
         ],
     )
     for i, t in enumerate(batch):
@@ -213,6 +214,42 @@ def test_fuzz_repetition_vs_twin(spark, batch):
         assert r["t3"] == G.top_ngram_char_ratio_py(t, 3), ("t3", t)
         assert r["g2"] == G.dup_ngram_char_ratio_py(t, 2), ("g2", t)
         assert r["g5"] == G.dup_ngram_char_ratio_py(t, 5), ("g5", t)
+        assert r["rx"] == G.gopher_repetition_exceeds_py(t), ("rx", t)
+
+
+def test_quality_funnel_stage_attribution(spark, tmp_path):
+    """End-to-end funnel on a planted corpus: first-failing-stage order
+    (quality -> repetition -> exact-dup -> keep), lang-gated stopword rule,
+    and the min-doc_id dup winner landing in 'keep'."""
+    import __spark_entry__ as E
+
+    # every fixture must fail ONLY its intended stage: distinct words (no
+    # accidental n-gram repetition), mean word length in [3, 10]
+    good = ("the quick brown fox jumps over that lazy dog while seventeen "
+            "pelicans watch from nearby rooftops during sunset hours with "
+            "great interest")
+    nostop = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda munu xinu omicron pillar rho sigma tau upsilon phi "
+              "chi psi omega aleph gimel")
+    repeaty = "the cat and dog " * 10           # stop rule ok, top-gram huge
+    short = "tiny doc"                          # under the 20-word floor
+    rows = [
+        (1, "en", good), (2, "en", good),       # byte-identical pair
+        (3, "fr", nostop),                      # fr: stopword rule gated off
+        (4, "en", nostop),
+        (5, "en", repeaty), (6, "en", short),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["stage"]: (r["n_docs"], r["bytes"])
+        for r in E.q_quality_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got["keep"][0] == 2          # doc 1 (dup winner) + doc 3 (fr)
+    assert got["exact-dup"] == (1, len(good.encode()))
+    assert got["gopher-stopwords"][0] == 1   # doc 4 only (doc 3 gated)
+    assert got["gopher-repetition"][0] == 1
+    assert got["gopher-words"][0] == 1
 
 
 # ---------------------------------------------------------------------------
