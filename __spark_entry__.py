@@ -1461,6 +1461,23 @@ def q_quality_funnel(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb within-document line dedup (keep first occurrence,
+    blank lines verbatim), compared byte-exactly via md5 of the rewritten
+    text. Native per-row fold — no UDF, no shuffle before the rollup-free
+    projection; the oracle restates it as a ROW_NUMBER window over
+    laterally-unnested lines re-agged with string_agg ORDER BY idx."""
+    from linguistjs_spark.operators.quality import dedup_lines_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    clean = dedup_lines_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_chars"),
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     # C4 line-level cleaning (keep lines with >=3 words ending in terminal
     # punctuation), compared byte-exactly via md5 of the rewritten text.
@@ -1605,8 +1622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of domain_rollup — a plain groupBy rollup whose URL-ops family
         # stays driver-recorded through url_canonical and url_dedup.
         "quality_funnel": q_quality_funnel,
+        # line_dedup (published rewrite op) takes top_docs_per_lang's slot;
+        # the window-top-k shape stays plan-asserted in tests/test_plans.py
+        # and pytest-swept (shipped_revenue_window is the same class).
+        "line_dedup": q_line_dedup,
         "revenue_by_nation": q_revenue_by_nation,
-        "top_docs_per_lang": q_top_docs_per_lang,
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1638,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
         "orders_no_lineitem": q_orders_no_lineitem,
+        "top_docs_per_lang": q_top_docs_per_lang,
         "domain_rollup": q_domain_rollup,
         "doc_length_quantiles": q_doc_length_quantiles,
         "lineitem_summary": q_lineitem_summary,
@@ -2814,6 +2835,22 @@ FROM p GROUP BY bucket
         "training_mix": _training_mix_oracle_sql(),
         "ccnet_buckets": _ccnet_buckets_oracle_sql(),
         "gopher_quality": _GOPHER_QUALITY_SQL,
+        "line_dedup": r"""
+WITH s AS (SELECT doc_id, string_split_regex(text, '\r?\n') AS lines
+           FROM documents),
+l AS (SELECT doc_id, t.i AS idx, lines[t.i] AS line
+      FROM s, UNNEST(range(1, len(lines) + 1)) AS t(i)),
+k AS (SELECT doc_id, line, idx,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, line
+                                ORDER BY idx) AS rn,
+             regexp_matches(line, '^[ \t\f\x0B\r]*$') AS blank
+      FROM l)
+SELECT doc_id,
+       md5(string_agg(line, chr(10) ORDER BY idx)) AS clean_md5,
+       CAST(length(string_agg(line, chr(10) ORDER BY idx)) AS BIGINT)
+         AS clean_chars
+FROM k WHERE rn = 1 OR blank GROUP BY doc_id
+""",
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "quality_funnel": _quality_funnel_oracle_sql(),
         "warc_roundtrip": """

@@ -442,6 +442,14 @@ def main() -> None:
             lambda: lambda: _E.q_training_mix(spark, SF_DIR).collect(),
         )
 
+        # round-4 op: the Gopher quality/repetition funnel — per-doc
+        # whole-text regexp scans + sorted-gram folds + md5 dup window +
+        # rollup, all codegen (no python workers in this leg at all)
+        run_leg(
+            "quality_funnel", queries, queries_host,
+            lambda: lambda: _E.q_quality_funnel(spark, SF_DIR).collect(),
+        )
+
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to

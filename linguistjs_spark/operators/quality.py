@@ -227,6 +227,35 @@ def top_bigram_ratio_col(text: Column) -> Column:
     return _let(words, build)
 
 
+def dedup_lines_col(text: Column, keep_blank: bool = True) -> Column:
+    """CCNet/RefinedWeb-style WITHIN-document line dedup: rewrite the
+    document keeping only the FIRST occurrence of each exact line, in
+    order. Blank lines are kept verbatim by default (they are structure,
+    not content — dropping all-but-one empty line would merge paragraphs).
+
+    Native array algebra: one fold over the split lines accumulating the
+    kept array (``array_contains`` membership against the lines kept so
+    far — O(lines^2) worst case per row, fine for web documents where
+    lines are ~10^2; no UDF, no shuffle). Restatable as a SQL window:
+    keep rows where ROW_NUMBER() over (doc, line ORDER BY idx) = 1."""
+    from .dedup import _let
+
+    lines = F.split(text, LINE_SPLIT_PAT)
+
+    def build(ls: Column) -> Column:
+        init = F.array().cast("array<string>")
+
+        def merge(acc, l):
+            is_dup = F.array_contains(acc, l)
+            if keep_blank:
+                is_dup = is_dup & ~l.rlike(BLANK_LINE_PAT)
+            return F.when(is_dup, acc).otherwise(F.array_append(acc, l))
+
+        return F.array_join(F.aggregate(ls, init, merge), "\n")
+
+    return _let(lines, build)
+
+
 def c4_line_filter_col(
     text: Column, min_words: int = 3, require_terminal_punct: bool = True
 ) -> Column:

@@ -90,3 +90,56 @@ def test_c4_line_filter(spark):
     ).collect()[0].c
     assert "no terminal punctuation on this line" in got2
     assert "Read more" not in got2
+
+
+def test_dedup_lines_keeps_first_and_blanks(spark):
+    from linguistjs_spark.operators.quality import dedup_lines_col
+
+    page = "a\nb\na\n\nb\n\nc\nA\n"
+    df = spark.createDataFrame([(1, page)], "i long, t string")
+    got = df.select(dedup_lines_col(F.col("t")).alias("c")).collect()[0].c
+    # dups of a/b dropped, both blanks kept, case-sensitive, trailing ""
+    # segment (from the final \n) is blank -> kept
+    assert got == "a\nb\n\n\nc\nA\n"
+    # keep_blank=False: blank lines dedup like any other line
+    got2 = df.select(
+        dedup_lines_col(F.col("t"), keep_blank=False).alias("c")
+    ).collect()[0].c
+    assert got2 == "a\nb\n\nc\nA"
+
+
+def test_dedup_lines_fuzz_vs_python(spark):
+    import re
+
+    from linguistjs_spark.operators.quality import dedup_lines_col
+
+    blank = re.compile(r"^[ \t\f\x0B\r]*$")
+
+    def twin(text):
+        seen, out = set(), []
+        for l in re.split(r"\r?\n", text):
+            if blank.match(l):
+                out.append(l)
+            elif l not in seen:
+                seen.add(l)
+                out.append(l)
+        return "\n".join(out)
+
+    import random
+    rng = random.Random(7)
+    pool = ["a", "b", "line two", "  ", "", "\t", "x y", "a", "Ω"]
+    batch = [
+        "\n".join(rng.choice(pool) for _ in range(rng.randrange(0, 12)))
+        for _ in range(48)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", dedup_lines_col(F.col("t")).alias("c")
+        ).collect()
+    }
+    for i, t in enumerate(batch):
+        assert got[i] == twin(t), repr(t)
