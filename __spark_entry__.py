@@ -1428,6 +1428,23 @@ def q_gopher_repetition(spark, sf_dir):
     )
 
 
+def q_bloom_dedup(spark, sf_dir):
+    """Dolma-style Bloom-filter cross-corpus dedup: the reference corpus
+    (every 80th doc, verbatim) collapses into a <=m/64-row (word, mask)
+    filter table; the probe corpus (every 40th doc — half with an exact
+    reference twin) broadcast-joins it over k exploded positions. No
+    false negatives by construction (asserted in tests/test_bloom.py);
+    false positives bounded by (1-e^{-kn/m})^k. The oracle is the
+    bit-exact hash_twin.oracle_bloom_maybe_dup as VALUES."""
+    import linguistjs_spark.operators.dedup as DD
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 40 == 0)
+    reference = docs.filter(F.col("doc_id") % 80 == 0)
+    filt = DD.bloom_filter_table(reference)
+    return DD.bloom_probe(corpus, filt)
+
+
 def q_quality_funnel(spark, sf_dir):
     """The quality-filter tier's flagship composition as ONE job: every
     document is attributed to its FIRST failing stage — the Gopher quality
@@ -1626,7 +1643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the window-top-k shape stays plan-asserted in tests/test_plans.py
         # and pytest-swept (shipped_revenue_window is the same class).
         "line_dedup": q_line_dedup,
-        "revenue_by_nation": q_revenue_by_nation,
+        # bloom_dedup takes revenue_by_nation's slot; the broadcast
+        # dim-chain plan stays asserted in tests/test_plans.py and the
+        # broadcast-join class stays driver-recorded through
+        # decontaminate/blocked_domains (and bloom_dedup itself).
+        "bloom_dedup": q_bloom_dedup,
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1659,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipped_revenue_window": q_shipped_revenue_window,
         "orders_no_lineitem": q_orders_no_lineitem,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "revenue_by_nation": q_revenue_by_nation,
         "domain_rollup": q_domain_rollup,
         "doc_length_quantiles": q_doc_length_quantiles,
         "lineitem_summary": q_lineitem_summary,
@@ -1937,6 +1959,31 @@ def _gopher_repetition_oracle_sql() -> str:
         "SELECT CAST(d AS BIGINT) AS doc_id, " + casts +
         " FROM (VALUES {values}) t(d, " + ", ".join(vnames) + ")",
         f"SELECT CAST(NULL AS BIGINT) doc_id, {nulls} WHERE FALSE",
+    )
+
+
+def _bloom_dedup_oracle_sql() -> str:
+    # bit-exact hash twin (hash_twin.oracle_bloom_maybe_dup) as VALUES
+    import duckdb
+
+    from linguistjs_spark.hash_twin import oracle_bloom_maybe_dup
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    corpus = [(d, t) for d, t in rows if d % 40 == 0]
+    ref = [t for d, t in rows if d % 80 == 0]
+    verdicts = oracle_bloom_maybe_dup(corpus, ref)
+    vals = [(d, 1 if v else 0) for d, v in verdicts.items()]
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, v = 1 AS maybe_dup "
+        "FROM (VALUES {values}) t(d, v)",
+        "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS BOOLEAN) "
+        "maybe_dup WHERE FALSE",
     )
 
 
@@ -2853,6 +2900,7 @@ FROM k WHERE rn = 1 OR blank GROUP BY doc_id
 """,
         "gopher_repetition": _gopher_repetition_oracle_sql(),
         "quality_funnel": _quality_funnel_oracle_sql(),
+        "bloom_dedup": _bloom_dedup_oracle_sql(),
         "warc_roundtrip": """
 SELECT 'https://' || source || '.example/doc/' || CAST(doc_id AS VARCHAR)
          AS url,

@@ -195,3 +195,28 @@ def oracle_hyperplane_bucket(vec: list[float], bits: int = 12) -> int:
         if proj > 0:
             key |= 1 << j
     return key
+
+
+def oracle_bloom_positions(text: str, m_bits: int = 1 << 22, k: int = 7) -> list[int]:
+    """dedup._bloom_positions twin: seeded xxhash64 chain (4-byte int
+    path for the sequence index), masked to the power-of-two bit space.
+    Python's ``&`` on a negative int yields the same low bits as Java's,
+    so no explicit wrap is needed."""
+    return [spark_xxhash64(text, i32(i)) & (m_bits - 1) for i in range(k)]
+
+
+def oracle_bloom_maybe_dup(
+    corpus: list[tuple[int, str]],
+    ref_texts: list[str],
+    m_bits: int = 1 << 22,
+    k: int = 7,
+) -> dict[int, bool]:
+    """dedup.bloom_filter_table + bloom_probe twin: build the reference
+    bit set, probe each corpus doc (all k positions present)."""
+    bits: set[int] = set()
+    for t in ref_texts:
+        bits.update(oracle_bloom_positions(t, m_bits, k))
+    return {
+        i: all(p in bits for p in oracle_bloom_positions(t, m_bits, k))
+        for i, t in corpus
+    }

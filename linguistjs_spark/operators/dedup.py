@@ -645,3 +645,90 @@ def duplicated_span_stats(
             .alias("dup_ratio_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-corpus dedup (Dolma-style)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(text: Column, m_bits: int, k: int) -> Column:
+    """array of k bit positions for ``text``: seeded xxhash64 chain
+    (``xxhash64(text, i)`` for i in 0..k-1 — the MinHash-permutation
+    machinery, so the python twin is hash_twin.oracle_bloom_positions),
+    masked to ``m_bits`` (power of two; & with m-1 is ANSI-safe where
+    double-hashing's ``h1 + i*h2`` would overflow under Spark 4's default
+    ANSI mode)."""
+    if m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.xxhash64(text, i).bitwiseAND(F.lit(m_bits - 1)),
+    )
+
+
+def bloom_filter_table(
+    reference: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 22,
+    k: int = 7,
+) -> DataFrame:
+    """Build the reference corpus's Bloom filter AS A DATAFRAME: one row
+    per 64-bit word that has any bit set — ``(word, mask)``, at most
+    m_bits/64 rows regardless of corpus size. The build is one explode
+    (k small ints per doc) + one map-side-combined ``bit_or`` groupBy;
+    the reference text never shuffles. At the default m=2^22 the full
+    table is <=64Ki rows (~1 MB) — broadcast range."""
+    pos = reference.select(
+        F.explode(_bloom_positions(F.col(text_col), m_bits, k)).alias("pos")
+    )
+    return (
+        pos.select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos & 63 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def bloom_probe(
+    corpus: DataFrame,
+    filter_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 22,
+    k: int = 7,
+) -> DataFrame:
+    """Probe every corpus doc against a ``bloom_filter_table`` built with
+    the SAME (m_bits, k): returns ``(id_col, maybe_dup)``. Bloom
+    semantics, stated honestly: ``maybe_dup`` has NO false negatives
+    (a byte-identical reference twin always hits all k positions) and a
+    bounded false-positive rate (~(1 - e^{-kn/m})^k; ~0.1% at the
+    defaults for n=10^5 reference docs). The 100-TB shape vs a
+    cross-corpus join: the corpus side explodes k small ints and
+    broadcast-joins the <=m/64-row filter — the corpus text NEVER
+    shuffles, and the only exchange is (id, hit) pairs for the
+    per-doc AND.
+
+    Reference analog: none — graft tier (Dolma/CCNet-style Bloom dedup
+    for web-scale crawls; BASELINE.json north_rule quality_filter)."""
+    pos = corpus.select(
+        id_col,
+        F.explode(_bloom_positions(F.col(text_col), m_bits, k)).alias("pos"),
+    )
+    j = pos.join(
+        F.broadcast(filter_table),
+        F.shiftright(F.col("pos"), 6) == F.col("word"),
+        "left",
+    )
+    hit = F.when(F.col("mask").isNull(), F.lit(0)).otherwise(
+        F.expr("CAST(shiftright(mask, CAST(pos & 63 AS INT)) & 1 AS INT)")
+    )
+    return (
+        j.select(id_col, hit.alias("hit"))
+        .groupBy(id_col)
+        .agg((F.min("hit") == 1).alias("maybe_dup"))
+    )
