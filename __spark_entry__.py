@@ -1415,17 +1415,9 @@ def q_gopher_repetition(spark, sf_dir):
     from linguistjs_spark.operators import gopher as G
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    t = F.col("text")
     return docs.select(
-        "doc_id",
-        G.dup_line_char_ratio_col(t).alias("dup_line_chars"),
-        G.dup_paragraph_ratio_col(t).alias("dup_paras"),
-        G.dup_paragraph_char_ratio_col(t).alias("dup_para_chars"),
-        G.top_ngram_char_ratio_col(t, 3).alias("top3"),
-        G.top_ngram_char_ratio_col(t, 4).alias("top4"),
-        G.dup_ngram_char_ratio_col(t, 5).alias("dup5"),
-        G.dup_ngram_char_ratio_col(t, 10).alias("dup10"),
-    )
+        "doc_id", G.gopher_repetition_struct(F.col("text")).alias("r")
+    ).select("doc_id", "r.*")
 
 
 def q_bloom_dedup(spark, sf_dir):

@@ -235,41 +235,45 @@ def _words(text: Column) -> Column:
     return F.filter(F.split(text, WORD_SPLIT_PAT), lambda x: x != F.lit(""))
 
 
+def _top_ngram_from_words(text: Column, w: Column, n: int) -> Column:
+    """top_ngram_char_ratio_col body over an already-bound words array —
+    shared by the per-signal column and gopher_repetition_struct (HOF
+    lambda children get no CSE, so the struct binds words ONCE for all
+    n-gram signals instead of re-splitting per column)."""
+    grams = _ngrams(w, n)
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("best"), F.lit("").alias("bstr"),
+    )
+
+    def merge(acc, x):
+        run = F.when(
+            x == acc.getField("prev"), acc.getField("run") + 1
+        ).otherwise(F.lit(1).cast("long"))
+        better = run > acc.getField("best")
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("best")).alias("best"),
+            F.when(better, x).otherwise(acc.getField("bstr")).alias("bstr"),
+        )
+
+    red = F.aggregate(F.array_sort(grams), acc0, merge)
+    return F.when(
+        (F.length(text) > 0) & (red.getField("best") > 0),
+        (red.getField("best") * F.length(red.getField("bstr")))
+        .cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
 def top_ngram_char_ratio_col(text: Column, n: int) -> Column:
     """Chars of the most frequent word n-gram (count x len, space-joined) /
     total chars. Generalizes quality.top_bigram_ratio_col (same sorted-run
     fold, same smallest-gram tie-break); 0.0 below n words."""
     if n < 2:
         raise ValueError("top_ngram_char_ratio_col needs n >= 2")
-
-    def build(w: Column) -> Column:
-        grams = _ngrams(w, n)
-        zero = F.lit(0).cast("long")
-        acc0 = F.struct(
-            F.lit("").alias("prev"), zero.alias("run"),
-            zero.alias("best"), F.lit("").alias("bstr"),
-        )
-
-        def merge(acc, x):
-            run = F.when(
-                x == acc.getField("prev"), acc.getField("run") + 1
-            ).otherwise(F.lit(1).cast("long"))
-            better = run > acc.getField("best")
-            return F.struct(
-                x.alias("prev"),
-                run.alias("run"),
-                F.when(better, run).otherwise(acc.getField("best")).alias("best"),
-                F.when(better, x).otherwise(acc.getField("bstr")).alias("bstr"),
-            )
-
-        red = F.aggregate(F.array_sort(grams), acc0, merge)
-        return F.when(
-            (F.length(text) > 0) & (red.getField("best") > 0),
-            (red.getField("best") * F.length(red.getField("bstr")))
-            .cast("double") / F.length(text),
-        ).otherwise(F.lit(0.0))
-
-    return _let(_words(text), build)
+    return _let(_words(text), lambda w: _top_ngram_from_words(text, w, n))
 
 
 def dup_ngram_char_ratio_col(text: Column, n: int) -> Column:
@@ -284,74 +288,76 @@ def dup_ngram_char_ratio_col(text: Column, n: int) -> Column:
     inside codegen, no UDF, no shuffle."""
     if n < 2:
         raise ValueError("dup_ngram_char_ratio_col needs n >= 2")
+    return _let(_words(text), lambda w: _dup_ngram_from_words(text, w, n))
 
-    def build(w: Column) -> Column:
-        def with_grams(g: Column) -> Column:
-            # duplicated grams, via the sorted-run fold (append on run==2)
-            zero = F.lit(0).cast("long")
-            d0 = F.struct(
-                F.lit("").alias("prev"), zero.alias("run"),
-                F.array().cast("array<string>").alias("dups"),
+
+def _dup_ngram_from_words(text: Column, w: Column, n: int) -> Column:
+    """dup_ngram_char_ratio_col body over an already-bound words array
+    (see _top_ngram_from_words for why the binding is shared)."""
+    def with_grams(g: Column) -> Column:
+        # duplicated grams, via the sorted-run fold (append on run==2)
+        zero = F.lit(0).cast("long")
+        d0 = F.struct(
+            F.lit("").alias("prev"), zero.alias("run"),
+            F.array().cast("array<string>").alias("dups"),
+        )
+
+        def dmerge(acc, x):
+            run = F.when(
+                x == acc.getField("prev"), acc.getField("run") + 1
+            ).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(
+                    run == 2, F.array_append(acc.getField("dups"), x)
+                ).otherwise(acc.getField("dups")).alias("dups"),
             )
 
-            def dmerge(acc, x):
-                run = F.when(
-                    x == acc.getField("prev"), acc.getField("run") + 1
-                ).otherwise(F.lit(1).cast("long"))
-                return F.struct(
-                    x.alias("prev"),
-                    run.alias("run"),
-                    F.when(
-                        run == 2, F.array_append(acc.getField("dups"), x)
-                    ).otherwise(acc.getField("dups")).alias("dups"),
-                )
+        dups = F.aggregate(
+            F.array_sort(g), d0, dmerge, lambda a: a.getField("dups")
+        )
 
-            dups = F.aggregate(
-                F.array_sort(g), d0, dmerge, lambda a: a.getField("dups")
+        def with_dups(D: Column) -> Column:
+            npos = F.size(g)
+            positions = F.when(
+                npos >= 1,
+                F.filter(
+                    F.sequence(F.lit(1), npos),
+                    lambda i: F.array_contains(D, F.element_at(g, i)),
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+            c0 = F.struct(
+                F.lit(0).alias("end"), F.lit(0).cast("long").alias("chars")
             )
 
-            def with_dups(D: Column) -> Column:
-                npos = F.size(g)
-                positions = F.when(
-                    npos >= 1,
-                    F.filter(
-                        F.sequence(F.lit(1), npos),
-                        lambda i: F.array_contains(D, F.element_at(g, i)),
+            def cmerge(acc, i):
+                start = F.greatest(i, acc.getField("end") + 1)
+                seg = i + F.lit(n) - start  # word count of new suffix
+                add = F.when(
+                    seg > 0,
+                    F.aggregate(
+                        F.slice(w, start, seg),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + F.length(x),
                     ),
-                ).otherwise(F.array().cast("array<int>"))
-                c0 = F.struct(
-                    F.lit(0).alias("end"), F.lit(0).cast("long").alias("chars")
+                ).otherwise(F.lit(0).cast("long"))
+                return F.struct(
+                    F.greatest(acc.getField("end"), i + F.lit(n - 1)).alias(
+                        "end"
+                    ),
+                    (acc.getField("chars") + add).alias("chars"),
                 )
 
-                def cmerge(acc, i):
-                    start = F.greatest(i, acc.getField("end") + 1)
-                    seg = i + F.lit(n) - start  # word count of new suffix
-                    add = F.when(
-                        seg > 0,
-                        F.aggregate(
-                            F.slice(w, start, seg),
-                            F.lit(0).cast("long"),
-                            lambda a, x: a + F.length(x),
-                        ),
-                    ).otherwise(F.lit(0).cast("long"))
-                    return F.struct(
-                        F.greatest(acc.getField("end"), i + F.lit(n - 1)).alias(
-                            "end"
-                        ),
-                        (acc.getField("chars") + add).alias("chars"),
-                    )
+            covered = F.aggregate(
+                positions, c0, cmerge, lambda a: a.getField("chars")
+            )
+            tot = _word_chars(text)
+            return F.when(tot > 0, covered / tot).otherwise(F.lit(0.0))
 
-                covered = F.aggregate(
-                    positions, c0, cmerge, lambda a: a.getField("chars")
-                )
-                tot = _word_chars(text)
-                return F.when(tot > 0, covered / tot).otherwise(F.lit(0.0))
+        return _let(dups, with_dups)
 
-            return _let(dups, with_dups)
-
-        return _let(_ngrams(w, n), with_grams)
-
-    return _let(_words(text), build)
+    return _let(_ngrams(w, n), with_grams)
 
 
 # ---------------------------------------------------------------------------
@@ -494,6 +500,27 @@ GOPHER_THRESHOLDS = {
 }
 
 
+def gopher_repetition_struct(text: Column) -> Column:
+    """ALL repetition signals in one struct, binding the words array ONCE
+    (HOF lambda children get no common-subexpression elimination, so
+    separate signal columns would each re-split/re-filter the text — 4
+    redundant word materializations per row for the n-gram signals).
+    Fields: dup_line_chars, dup_paras, dup_para_chars, top3, top4, dup5,
+    dup10 — each value identical to its standalone *_col."""
+    def build(w: Column) -> Column:
+        return F.struct(
+            dup_line_char_ratio_col(text).alias("dup_line_chars"),
+            dup_paragraph_ratio_col(text).alias("dup_paras"),
+            dup_paragraph_char_ratio_col(text).alias("dup_para_chars"),
+            _top_ngram_from_words(text, w, 3).alias("top3"),
+            _top_ngram_from_words(text, w, 4).alias("top4"),
+            _dup_ngram_from_words(text, w, 5).alias("dup5"),
+            _dup_ngram_from_words(text, w, 10).alias("dup10"),
+        )
+
+    return _let(_words(text), build)
+
+
 #: Gopher Table A1 repetition thresholds over the signals this module
 #: computes (doc dropped when ANY ratio exceeds its bound).
 GOPHER_REPETITION_THRESHOLDS = {
@@ -513,15 +540,14 @@ def gopher_repetition_exceeds_col(text: Column) -> Column:
     left to codegen); at 100 TB run this only on survivors of the cheap
     quality scans."""
     t = GOPHER_REPETITION_THRESHOLDS
-    return (
-        (dup_line_char_ratio_col(text) > t["dup_line_chars"])
-        | (dup_paragraph_ratio_col(text) > t["dup_paras"])
-        | (dup_paragraph_char_ratio_col(text) > t["dup_para_chars"])
-        | (top_ngram_char_ratio_col(text, 3) > t["top3"])
-        | (top_ngram_char_ratio_col(text, 4) > t["top4"])
-        | (dup_ngram_char_ratio_col(text, 5) > t["dup5"])
-        | (dup_ngram_char_ratio_col(text, 10) > t["dup10"])
-    )
+
+    def build(r: Column) -> Column:
+        out = F.lit(False)
+        for name, bound in t.items():
+            out = out | (r.getField(name) > bound)
+        return out
+
+    return _let(gopher_repetition_struct(text), build)
 
 
 def gopher_repetition_exceeds_py(text: str) -> bool:
