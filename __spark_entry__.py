@@ -1447,27 +1447,12 @@ def q_quality_funnel(spark, sf_dir):
     rollup; every signal is codegen-native Column algebra. Stage order is
     the 100-TB order: cheap whole-text scans first, the dedup shuffle only
     decides docs the scans kept."""
-    from pyspark.sql import Window
-
     from linguistjs_spark.operators import gopher as G
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    t = F.col("text")
-    first_id = F.min("doc_id").over(Window.partitionBy(F.md5(t)))
     # multilingual gating + corpus-scale word floor (published thresholds
     # are English-corpus values; the synthetic docs average ~54 words)
-    stage = F.coalesce(
-        G.gopher_quality_drop_reason_col(t, lang=F.col("lang"), min_words=20),
-        F.when(G.gopher_repetition_exceeds_col(t), "gopher-repetition"),
-        F.when(F.col("doc_id") != first_id, "exact-dup"),
-        F.lit("keep"),
-    )
-    return (
-        docs.select(stage.alias("stage"),
-                    F.octet_length(t).cast("long").alias("b"))
-        .groupBy("stage")
-        .agg(F.count("*").alias("n_docs"), F.sum("b").alias("bytes"))
-    )
+    return G.quality_funnel(docs, min_words=20)
 
 
 def q_line_dedup(spark, sf_dir):

@@ -7,6 +7,7 @@ Usage (also the spark-submit main, north rule 'spark-submit --py-files'):
         <pages_parquet_dir> [--json] [--tree languages.results]
         [--min-size 100b|1kb|5%|10loc] [--categories programming,markup]
         [--quick] [--child-languages] [--output DIR] [--buckets N]
+        [--gopher-funnel [--funnel-min-words N]]
 """
 
 from __future__ import annotations
@@ -66,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="score perplexity with a model file: a KenLM "
                          "binary (kenlm package) or a text ARPA file "
                          "(built-in reader); enables the ppl stage")
+    ap.add_argument("--gopher-funnel", action="store_true",
+                    help="print the Gopher quality/repetition/dup funnel "
+                         "(first-failing-stage rollup by url) and exit")
+    ap.add_argument("--funnel-min-words", type=int, default=None,
+                    help="override the Gopher 50-word floor for the funnel")
     ap.add_argument("--max-perplexity", type=float, default=None,
                     help="drop documents scoring above this perplexity "
                          "(enables the ppl stage with the embedded model "
@@ -136,6 +142,26 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.gopher_funnel:
+            from pyspark.sql import functions as F
+
+            from .operators.gopher import quality_funnel
+
+            rows = (
+                quality_funnel(
+                    pages, id_col="url", min_words=args.funnel_min_words
+                )
+                .orderBy(F.col("bytes").desc())
+                .collect()
+            )
+            total = sum(r["n_docs"] for r in rows) or 1
+            print(f"{'stage':<22}{'docs':>10}{'bytes':>14}{'share':>8}")
+            for r in rows:
+                print(
+                    f"{r['stage']:<22}{r['n_docs']:>10}{r['bytes']:>14}"
+                    f"{100.0 * r['n_docs'] / total:>7.1f}%"
+                )
+            return 0
         if args.buckets > 0 and args.output:
             from .streaming.resume import read_labels, resumable_run
 

@@ -615,6 +615,41 @@ def gopher_quality_drop_reason_col(
     )
 
 
+def quality_funnel(
+    df,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    min_words: int | None = None,
+):
+    """The quality-filter tier's flagship composition as ONE job: every
+    row is attributed to its FIRST failing stage — the Gopher quality rule
+    chain (lang-gated stopword rule), then the repetition thresholds, then
+    exact-dup (md5 byte identity, min-id winner) — and the funnel rolls up
+    ``(stage, n_docs, bytes)``. Plan: one scan, one window shuffle (md5
+    partition — fingerprints, never text), one map-side-combined rollup.
+    NULL text is treated as empty (it lands in 'gopher-words')."""
+    from pyspark.sql import Window
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    first_id = F.min(id_col).over(Window.partitionBy(F.md5(t)))
+    stage = F.coalesce(
+        gopher_quality_drop_reason_col(
+            t, lang=F.col(lang_col), min_words=min_words
+        ),
+        F.when(gopher_repetition_exceeds_col(t), "gopher-repetition"),
+        F.when(F.col(id_col) != first_id, "exact-dup"),
+        F.lit("keep"),
+    )
+    return (
+        df.select(
+            stage.alias("stage"), F.octet_length(t).cast("long").alias("b")
+        )
+        .groupBy("stage")
+        .agg(F.count("*").alias("n_docs"), F.sum("b").alias("bytes"))
+    )
+
+
 def gopher_quality_drop_reason_py(
     text: str, lang: str | None = None, min_words: int | None = None
 ) -> str | None:

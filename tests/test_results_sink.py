@@ -107,3 +107,26 @@ def test_cli_list_files_mode(spark, tmp_path, capsys):
     assert any(l.lstrip().startswith("1.") for l in lines)
     assert any(l.startswith("       https://") for l in lines)
     assert sum(1 for l in lines if l.startswith("       https://")) <= 20
+
+
+def test_cli_gopher_funnel(spark, tmp_path, capsys):
+    """--gopher-funnel prints the first-failing-stage rollup keyed by url
+    and exits before the label pipeline."""
+    from linguistjs_spark.cli import main
+    from linguistjs_spark.sources.pages import pages_df
+
+    path = str(tmp_path / "pages")
+    pages_df(spark, n_bulk=40).write.mode("overwrite").parquet(path)
+    rc = main([path, "--gopher-funnel", "--funnel-min-words", "1"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0].split() == ["stage", "docs", "bytes", "share"]
+    stages = {l.split()[0] for l in lines[1:]}
+    # every row names a funnel stage; shares sum to ~100%
+    allowed = {"keep", "exact-dup", "gopher-repetition", "gopher-words",
+               "gopher-word-length", "gopher-symbols", "gopher-bullets",
+               "gopher-ellipsis", "gopher-alpha", "gopher-stopwords"}
+    assert stages and stages <= allowed
+    shares = [float(l.split()[-1].rstrip("%")) for l in lines[1:]]
+    assert abs(sum(shares) - 100.0) < 0.5
