@@ -615,6 +615,22 @@ def gopher_quality_drop_reason_col(
     )
 
 
+def quality_stage_col(
+    text: Column,
+    lang: Column | None = None,
+    min_words: int | None = None,
+) -> Column:
+    """The STATELESS funnel stage: the Gopher quality chain, then the
+    repetition thresholds, else 'keep'. Pure per-row algebra — usable
+    unchanged in an append-mode stream (the stateful exact-dup stage lives
+    only in the batch funnel / stream_exact_dedup)."""
+    return F.coalesce(
+        gopher_quality_drop_reason_col(text, lang=lang, min_words=min_words),
+        F.when(gopher_repetition_exceeds_col(text), "gopher-repetition"),
+        F.lit("keep"),
+    )
+
+
 def quality_funnel(
     df,
     id_col: str = "doc_id",
@@ -633,14 +649,10 @@ def quality_funnel(
 
     t = F.coalesce(F.col(text_col), F.lit(""))
     first_id = F.min(id_col).over(Window.partitionBy(F.md5(t)))
-    stage = F.coalesce(
-        gopher_quality_drop_reason_col(
-            t, lang=F.col(lang_col), min_words=min_words
-        ),
-        F.when(gopher_repetition_exceeds_col(t), "gopher-repetition"),
-        F.when(F.col(id_col) != first_id, "exact-dup"),
-        F.lit("keep"),
-    )
+    stateless = quality_stage_col(t, lang=F.col(lang_col), min_words=min_words)
+    stage = F.when(
+        (stateless == "keep") & (F.col(id_col) != first_id), "exact-dup"
+    ).otherwise(stateless)
     return (
         df.select(
             stage.alias("stage"), F.octet_length(t).cast("long").alias("b")

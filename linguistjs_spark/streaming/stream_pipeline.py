@@ -143,3 +143,51 @@ def stream_exact_dedup(
     )
     query.awaitTermination()
     return query
+
+
+def stream_quality_stages(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    min_words: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming Gopher funnel for an ongoing crawl: every landing page is
+    stamped with its STATELESS funnel stage (the quality rule chain, then
+    the repetition thresholds — gopher.quality_stage_col, pure per-row
+    algebra, append-mode safe) and appended to a parquet sink; the
+    per-stage rollup stays a batch query over the sink (this module's
+    standing posture), and the stateful exact-dup discipline is
+    stream_exact_dedup over the 'keep' rows. Same checkpoint semantics as
+    stream_labels: AvailableNow drains, file-level exactly-once."""
+    from pyspark.sql import functions as F
+
+    from ..operators.gopher import quality_stage_col
+
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+
+    staged = pages.withColumn(
+        "stage",
+        quality_stage_col(
+            F.coalesce(F.col("text"), F.lit("")),
+            lang=F.col("lang"),
+            min_words=min_words,
+        ),
+    )
+    query = (
+        staged.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

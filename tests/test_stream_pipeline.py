@@ -102,3 +102,52 @@ def test_stream_exact_dedup_across_drains(spark, tmp_path):
         "the first unique document text",
         "the second unique document text",
     ]
+
+
+def test_stream_quality_stages_match_batch_and_resume(spark, tmp_path):
+    """Streamed stage stamps equal the batch stateless stage per url, and
+    the checkpoint makes the second drain incremental + idempotent."""
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.operators.gopher import quality_stage_col
+    from linguistjs_spark.streaming.stream_pipeline import (
+        stream_quality_stages)
+
+    d = {k: str(tmp_path / k) for k in ("in", "out", "ckpt")}
+    pages = pages_from_documents(spark, SF_DIR)
+    first, second = (
+        pages.filter("pmod(xxhash64(url), 2) = 0"),
+        pages.filter("pmod(xxhash64(url), 2) = 1"),
+    )
+
+    def batch_stages(df):
+        return {
+            (r["url"], r["stage"])
+            for r in df.select(
+                "url",
+                quality_stage_col(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    lang=F.col("lang"), min_words=20,
+                ).alias("stage"),
+            ).collect()
+        }
+
+    first.write.mode("append").parquet(d["in"])
+    stream_quality_stages(spark, d["in"], d["out"], d["ckpt"], min_words=20)
+    got1 = spark.read.parquet(d["out"])
+    assert {
+        (r["url"], r["stage"]) for r in got1.select("url", "stage").collect()
+    } == batch_stages(first)
+
+    second.write.mode("append").parquet(d["in"])
+    stream_quality_stages(spark, d["in"], d["out"], d["ckpt"], min_words=20)
+    got2 = spark.read.parquet(d["out"])
+    assert {
+        (r["url"], r["stage"]) for r in got2.select("url", "stage").collect()
+    } == batch_stages(pages)
+    # multiple stages actually exercised at this SF
+    assert len({r["stage"] for r in got2.select("stage").collect()}) >= 3
+
+    n = got2.count()
+    stream_quality_stages(spark, d["in"], d["out"], d["ckpt"], min_words=20)
+    assert spark.read.parquet(d["out"]).count() == n
