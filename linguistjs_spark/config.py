@@ -65,6 +65,10 @@ class QualityFilterConfig:
     # frequent word bigram; Gopher drops at >0.18). None = rule off — the
     # default keeps round-1 label semantics byte-stable.
     max_top_bigram_ratio: float | None = None
+    # Gopher's English 8-stopword presence rule (drop docs with fewer
+    # distinct hits; Gopher uses 2). 0 = off — English-corpus rule, keep
+    # off for multilingual inputs (or use gopher.quality_funnel's lang
+    # gating instead).
     min_stopword_hits: int = 0
     # Perplexity gate (KenLM-style char-bigram model; higher = more gibberish).
     # compute_perplexity adds the one optional pandas-UDF scoring stage.

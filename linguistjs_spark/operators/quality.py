@@ -138,14 +138,19 @@ def quality_struct(text: Column) -> Column:
 
 
 def quality_drop_reason_col(
-    q: Column, cfg: QualityFilterConfig, top_bigram: Column | None = None
+    q: Column,
+    cfg: QualityFilterConfig,
+    top_bigram: Column | None = None,
+    stopword_hits: Column | None = None,
 ) -> Column:
     """CASE chain mirroring oracle.quality_drop_reason (rule order matters).
 
     ``top_bigram`` is the optional Gopher repetition score column
     (top_bigram_ratio_col); it is only consulted when
     cfg.max_top_bigram_ratio is set, so the default plan never pays for
-    the bigram fold."""
+    the bigram fold. ``stopword_hits`` (gopher.stopword_hits_col) is the
+    same pattern for cfg.min_stopword_hits — Gopher's English 8-stopword
+    presence rule, off by default (turn it on only for English corpora)."""
     if not cfg.quality_rules:
         return F.lit(None).cast("string")
     case = (
@@ -170,6 +175,15 @@ def quality_drop_reason_col(
             )
         case = case.when(
             top_bigram > cfg.max_top_bigram_ratio, F.lit("quality-repetition")
+        )
+    if cfg.min_stopword_hits > 0:
+        if stopword_hits is None:
+            raise ValueError(
+                "cfg.min_stopword_hits is set but no stopword_hits column "
+                "was supplied — pass gopher.stopword_hits_col(text)"
+            )
+        case = case.when(
+            stopword_hits < cfg.min_stopword_hits, F.lit("quality-stopwords")
         )
     return case.otherwise(F.lit(None))
 

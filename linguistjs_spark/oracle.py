@@ -415,6 +415,9 @@ SYMBOL_PAT = r"[#<>{}\[\]\\^~|]"
 
 _WORD_SPLIT_RE = re.compile(WORD_SPLIT_PAT)
 _SYMBOL_RE = re.compile(SYMBOL_PAT)
+# the cfg.min_stopword_hits rule's word list (operators/gopher.py
+# GOPHER_STOPWORDS; duplicated literally so this module stays pyspark-free)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def quality_features(text: str) -> dict:
@@ -425,12 +428,15 @@ def quality_features(text: str) -> dict:
     sym_ratio = n_sym / len(text) if text else 0.0
     lines = [l for l in _LINE_SPLIT_RE.split(text) if not _BLANK_RE.match(l)]
     dup_ratio = (1.0 - len(set(lines)) / len(lines)) if lines else 0.0
+    lower_words = set(w for w in _WORD_SPLIT_RE.split(text.lower()) if w)
+    stop_hits = sum(1 for s in _GOPHER_STOPWORDS if s in lower_words)
     return {
         "n_words": n_words,
         "mean_word_len": mean_wl,
         "symbol_ratio": sym_ratio,
         "dup_line_ratio": dup_ratio,
         "top_bigram_ratio": top_bigram_ratio(text),
+        "stopword_hits": stop_hits,
     }
 
 
@@ -464,6 +470,11 @@ def quality_drop_reason(cfg: QualityFilterConfig, feats: dict) -> str | None:
         and feats.get("top_bigram_ratio", 0.0) > cfg.max_top_bigram_ratio
     ):
         return "quality-repetition"
+    if (
+        cfg.min_stopword_hits > 0
+        and feats.get("stopword_hits", 0) < cfg.min_stopword_hits
+    ):
+        return "quality-stopwords"
     return None
 
 

@@ -287,7 +287,14 @@ def run_pipeline(
         from .operators.quality import top_bigram_ratio_col
 
         top_bigram = F.when(alive, top_bigram_ratio_col(text))
-    qreason = quality_drop_reason_col(F.col("quality"), cfg, top_bigram)
+    stop_hits = None
+    if cfg.min_stopword_hits > 0:
+        from .operators.gopher import stopword_hits_col
+
+        stop_hits = F.when(alive, stopword_hits_col(text))
+    qreason = quality_drop_reason_col(
+        F.col("quality"), cfg, top_bigram, stop_hits
+    )
     if cfg.compute_perplexity:
         qreason = F.coalesce(
             qreason,

@@ -143,3 +143,38 @@ def test_dedup_lines_fuzz_vs_python(spark):
     }
     for i, t in enumerate(batch):
         assert got[i] == twin(t), repr(t)
+
+
+def test_stopword_rule_wiring_and_parity(spark):
+    """cfg.min_stopword_hits (previously an unconsumed knob) now drives the
+    Gopher 8-stopword presence rule: pipeline wiring + oracle parity."""
+    import datetime
+
+    from linguistjs_spark.config import QualityFilterConfig
+    from linguistjs_spark.oracle import quality_drop_reason, quality_features
+    from linguistjs_spark.pipeline import run_pipeline
+
+    t = datetime.datetime(2026, 1, 1)
+    nostop = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    stopful = ("the data we have gathered shows that results align with "
+               "expectations and the metrics hold up well over time")
+    pages = spark.createDataFrame(
+        [("https://a.example/nostop.html", t, None, nostop),
+         ("https://a.example/stopful.html", t, None, stopful)],
+        "url string, warc_ts timestamp, html binary, text string",
+    )
+    # default: rule off, both kept
+    base = {r.url: r for r in run_pipeline(spark, pages).collect()}
+    assert all(r.keep for r in base.values())
+    # enabled at the Gopher threshold
+    cfg = QualityFilterConfig(min_stopword_hits=2)
+    got = {r.url: r for r in run_pipeline(spark, pages, cfg).collect()}
+    assert got["https://a.example/nostop.html"].keep_reason == \
+        "quality-stopwords"
+    assert got["https://a.example/stopful.html"].keep is True
+    # oracle parity on both texts
+    for txt, url in ((nostop, "nostop"), (stopful, "stopful")):
+        exp = quality_drop_reason(cfg, quality_features(txt))
+        got_r = got[f"https://a.example/{url}.html"].keep_reason
+        assert (exp is None and got_r == "classified") or exp == got_r
