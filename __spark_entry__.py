@@ -1870,7 +1870,7 @@ WITH s AS (
          CASE WHEN len(words) = 0 THEN 0.0 ELSE
            CASE WHEN len(words) = 0 THEN 0
                 ELSE list_sum(list_transform(words, x -> length(x))) END
-             / len(words) END AS mean_wl
+             / len(words) END AS mean_wl{extra_cols}
   FROM s
 )
 SELECT doc_id, bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits,
@@ -1881,17 +1881,42 @@ SELECT doc_id, bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits,
             WHEN bullet_ratio > 0.9 THEN 'gopher-bullets'
             WHEN ellipsis_ratio > 0.3 THEN 'gopher-ellipsis'
             WHEN alpha_ratio < 0.8 THEN 'gopher-alpha'
-            WHEN {stop_gate}stop_hits < 2 THEN 'gopher-stopwords'
+            WHEN {stop_rule} THEN 'gopher-stopwords'
             ELSE NULL END AS drop_reason
 FROM f
 """
 
 def _gopher_quality_sql(min_words: int = 50, lang_gate: bool = False) -> str:
     # plain .replace, NOT .format — the template's \p{L} regex would trip
-    # format's brace parsing
-    return _GOPHER_QUALITY_SQL_TEMPLATE.replace(
-        "{min_words}", str(min_words)
-    ).replace("{stop_gate}", "lang = 'en' AND " if lang_gate else "")
+    # format's brace parsing. lang_gate=True regenerates the per-language
+    # stopword CASE from the SAME langid snapshot the Spark expression
+    # uses (gopher._stopword_lists) — the langid_dist oracle precedent;
+    # unlisted langs yield NULL, and NULL < 2 is NULL, so the WHEN never
+    # fires for them (the Spark side's isNotNull gate, SQL-style).
+    if lang_gate:
+        from linguistjs_spark.operators.gopher import _stopword_lists
+
+        lists = _stopword_lists()
+        branches = " ".join(
+            "WHEN lang = '{lg}' THEN len(list_filter([{ws}], "
+            "g -> list_contains(lwords, g)))".format(
+                lg=lg,
+                ws=",".join(
+                    "'" + w.replace("'", "''") + "'" for w in lists[lg]
+                ),
+            )
+            for lg in sorted(lists)
+        )
+        extra = f",\n         CASE {branches} END AS plang_hits"
+        stop_rule = "plang_hits < 2"
+    else:
+        extra = ""
+        stop_rule = "stop_hits < 2"
+    return (
+        _GOPHER_QUALITY_SQL_TEMPLATE.replace("{min_words}", str(min_words))
+        .replace("{extra_cols}", extra)
+        .replace("{stop_rule}", stop_rule)
+    )
 
 
 # standalone gopher_quality query: published defaults, no lang gate

@@ -129,6 +129,43 @@ def stopword_hits_col(text: Column) -> Column:
     return out.alias("stopword_hits")
 
 
+def _stopword_lists() -> dict[str, list[str]]:
+    from ..metadata import load_langid_config
+
+    conf = load_langid_config()
+    return {k: sorted(set(v)) for k, v in conf["stopword_langs"].items()}
+
+
+def per_lang_stopword_hits_col(text: Column, lang: Column) -> Column:
+    """CCNet-style per-language stopword presence: how many of ``lang``'s
+    curated stopwords (the langid snapshot's 16 per-language lists) occur
+    as a lowercased ws-delimited word; NULL when ``lang`` has no list (the
+    rule is then not applicable — a zh doc is never judged by an English
+    word list). One lowered-words binding, one array_intersect per
+    language branch, all codegen."""
+    lists = _stopword_lists()
+    words = F.split(F.lower(text), WORD_SPLIT_PAT)
+
+    def build(w: Column) -> Column:
+        out = F.lit(None).cast("int")
+        for lg in sorted(lists):
+            hits = F.size(
+                F.array_intersect(w, F.array(*[F.lit(s) for s in lists[lg]]))
+            )
+            out = F.when(lang == F.lit(lg), hits).otherwise(out)
+        return out
+
+    return _let(words, build)
+
+
+def per_lang_stopword_hits_py(text: str, lang: str | None) -> int | None:
+    lists = _stopword_lists()
+    if lang is None or lang not in lists:
+        return None
+    words = set(_py_words(text.lower()))
+    return sum(1 for s in lists[lang] if s in words)
+
+
 def hash_ellipsis_word_ratio_col(text: Column) -> Column:
     """Gopher's symbol-to-word ratio: (# occurrences + ellipsis
     occurrences) / word count. ``...`` runs count one ellipsis per
@@ -573,18 +610,24 @@ def gopher_quality_drop_reason_col(
     repetition rules live in the separate *_char_ratio columns — at 100 TB
     you compute those only for survivors of these cheap scans.
 
-    ``lang``: when given, the (English) 8-stopword rule fires only where
-    ``lang = 'en'`` — the standard multilingual gating (Gopher itself is an
-    English-corpus pipeline). ``min_words`` overrides the published floor
-    (e.g. a short-document corpus); all other thresholds stay Table A1."""
+    ``lang``: when given, the stopword rule goes per-language (CCNet
+    style): each of the snapshot's 16 stopword lists judges its own
+    language, and languages WITHOUT a list are not judged at all (Gopher
+    itself is an English-corpus pipeline; judging zh by English stopwords
+    would drop every zh doc). When ``lang`` is None the published English
+    8-word rule applies unconditionally. ``min_words`` overrides the
+    published floor (e.g. a short-document corpus); all other thresholds
+    stay Table A1."""
     t = GOPHER_THRESHOLDS
     if min_words is None:
         min_words = t["min_words"]
     n = _n_words(text)
     mean_wl = F.when(n > 0, _word_chars(text) / n).otherwise(F.lit(0.0))
-    stop_rule = stopword_hits_col(text) < t["min_stopword_hits"]
     if lang is not None:
-        stop_rule = (lang == F.lit("en")) & stop_rule
+        hits = per_lang_stopword_hits_col(text, lang)
+        stop_rule = hits.isNotNull() & (hits < t["min_stopword_hits"])
+    else:
+        stop_rule = stopword_hits_col(text) < t["min_stopword_hits"]
     return (
         F.when(
             (n < min_words) | (n > t["max_words"]), F.lit("gopher-words")
@@ -683,8 +726,10 @@ def gopher_quality_drop_reason_py(
         return "gopher-ellipsis"
     if alpha_word_ratio_py(text) < t["min_alpha_word_ratio"]:
         return "gopher-alpha"
-    if (lang is None or lang == "en") and (
-        stopword_hits_py(text) < t["min_stopword_hits"]
-    ):
+    if lang is not None:
+        hits = per_lang_stopword_hits_py(text, lang)
+        if hits is not None and hits < t["min_stopword_hits"]:
+            return "gopher-stopwords"
+    elif stopword_hits_py(text) < t["min_stopword_hits"]:
         return "gopher-stopwords"
     return None

@@ -217,6 +217,36 @@ def test_fuzz_repetition_vs_twin(spark, batch):
         assert r["rx"] == G.gopher_repetition_exceeds_py(t), ("rx", t)
 
 
+def test_per_lang_stopword_hits_matches_twin(spark):
+    """Spark per-language stopword hits == python twin for listed,
+    unlisted, and unknown langs (NULL where no list exists)."""
+    texts = [
+        "the quick fox with the hat and that dog",
+        "le chat et le chien dans la maison avec les autres",
+        "der hund und die katze sind in dem haus",
+        "alpha beta gamma delta",
+        "",
+    ]
+    langs = ["en", "fr", "de", "zh", "xx"]
+    rows = [(i * 10 + j, t, lg) for i, t in enumerate(texts)
+            for j, lg in enumerate(langs)]
+    df = spark.createDataFrame(rows, "i long, t string, lg string")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i",
+            G.per_lang_stopword_hits_col(F.col("t"), F.col("lg")).alias("h"),
+        ).collect()
+    }
+    hit_some = 0
+    for i, t, lg in rows:
+        exp = G.per_lang_stopword_hits_py(t, lg)
+        assert got[i] == exp, (t, lg, got[i], exp)
+        if exp:
+            hit_some += 1
+    assert hit_some >= 3   # the en/fr/de fixtures actually score
+
+
 def test_quality_funnel_stage_attribution(spark, tmp_path):
     """End-to-end funnel on a planted corpus: first-failing-stage order
     (quality -> repetition -> exact-dup -> keep), lang-gated stopword rule,
@@ -235,9 +265,10 @@ def test_quality_funnel_stage_attribution(spark, tmp_path):
     short = "tiny doc"                          # under the 20-word floor
     rows = [
         (1, "en", good), (2, "en", good),       # byte-identical pair
-        (3, "fr", nostop),                      # fr: stopword rule gated off
+        (3, "zh", nostop),                      # zh: no stopword list -> ungated
         (4, "en", nostop),
         (5, "en", repeaty), (6, "en", short),
+        (7, "fr", nostop),                      # fr judged by the FR list
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
@@ -245,9 +276,9 @@ def test_quality_funnel_stage_attribution(spark, tmp_path):
         r["stage"]: (r["n_docs"], r["bytes"])
         for r in E.q_quality_funnel(spark, str(tmp_path)).collect()
     }
-    assert got["keep"][0] == 2          # doc 1 (dup winner) + doc 3 (fr)
+    assert got["keep"][0] == 2          # doc 1 (dup winner) + doc 3 (zh)
     assert got["exact-dup"] == (1, len(good.encode()))
-    assert got["gopher-stopwords"][0] == 1   # doc 4 only (doc 3 gated)
+    assert got["gopher-stopwords"][0] == 2   # doc 4 (en list), doc 7 (fr list)
     assert got["gopher-repetition"][0] == 1
     assert got["gopher-words"][0] == 1
 
