@@ -1565,6 +1565,69 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    # Winnowing document fingerprints (Schleimer et al. 2003 / MOSS) in the
+    # portable poly-hash mode: both engines compute the identical 31-base
+    # polynomial mod 1e9+7 per shingle, so min/max/sum of the fingerprint
+    # set compare hash-EXACT (not merely collision-free). Production mode
+    # (hash_mode="xxhash64") is pinned against this one in
+    # tests/test_fingerprint.py.
+    from linguistjs_spark.operators import fingerprint as FP
+
+    docs = _docs(spark, sf_dir)
+    return FP.winnow_stats(docs, k=5, w=4, hash_mode="poly").orderBy("doc_id")
+
+
+def q_winnow_pairs(spark, sf_dir):
+    # Inverted-index candidate pairs over winnowed fingerprints: planted
+    # full copies (doc_id+1M, same device as duplicated_spans) guarantee
+    # known local-overlap pairs; the max_df cap drops boilerplate
+    # fingerprints exactly as the oracle restates.
+    from linguistjs_spark.operators import fingerprint as FP
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return FP.winnow_candidate_pairs(
+        corpus, k=5, w=4, min_shared=2, max_df=64, hash_mode="poly"
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_temperature_mix(spark, sf_dir):
+    # Temperature-sampled corpus mix (mC4/XLM-R alpha-smoothing, alpha=0.5):
+    # per-lang natural counts, the alpha-smoothed keep rate in ppm, and the
+    # deterministically kept count. The oracle recomputes n_docs and
+    # rate_ppm LIVE (sqrt + sorted-order list_reduce fold mirrors
+    # temperature_rates_ppm's fixed summation order); n_kept — a pure
+    # function of xxhash64, which DuckDB lacks — is pinned from the
+    # hash_twin (same stance as stratified_sample's pinned oracle).
+    from linguistjs_spark.operators import sampling as SAMP
+
+    docs = _docs(spark, sf_dir)
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy("lang").count().collect()
+        if r[0] is not None
+    }
+    ppm = SAMP.temperature_rates_ppm(counts, alpha=0.5, budget_frac=0.5)
+    kept = SAMP._threshold_sample(docs, ppm, "lang", "doc_id", seed=7)
+    kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    rates = spark.createDataFrame(
+        [(k, counts[k], ppm[k]) for k in sorted(ppm)],
+        "lang string, n_docs long, rate_ppm long",
+    )
+    return (
+        rates.join(kept_counts, "lang", "left")
+        .select(
+            "lang", "n_docs", "rate_ppm",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the round driver records CORRECTNESS
     # rows for the first 50 entries only (r03 recorded exactly 50 of 52, in
@@ -1651,7 +1714,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "duplicated_spans": q_duplicated_spans,
         # -- past the driver's 50-row recording cap (pytest-verified only:
-        #    tests/test_entry_queries.py sweeps every oracle_sql entry) --
+        #    tests/test_entry_queries.py sweeps every oracle_sql entry).
+        #    The three round-4 tail additions (winnow_*, temperature_mix)
+        #    sit here rather than displacing driver-recorded graft rows:
+        #    every top-50 slot already holds a first-class operator family,
+        #    and downgrading a previously-green row to make room would
+        #    trade one verified op for another. --
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
+        "temperature_mix": q_temperature_mix,
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
@@ -2630,6 +2701,42 @@ def _semantic_dedup_oracle_sql() -> str:
     )
 
 
+# Winnowing restated in DuckDB list algebra (k=5-word shingles, window w=4,
+# portable 31-base polynomial hash mod 1e9+7 — list_reduce without an init
+# seeds from the first element, and (0*31+c1)==c1, so the fold equals
+# fingerprint.poly_hash_col bit-for-bit). {src} is the corpus CTE body.
+_WINNOW_CTE = """
+WITH corpus AS ({src}
+), wd AS (
+  SELECT doc_id, list_filter(string_split(trim(lower(regexp_replace(
+      text, '[ \\t\\r\\n\\f\\x0B]+', ' ', 'g'))), ' '), x -> x <> '') AS words
+  FROM corpus
+), sh AS (
+  SELECT doc_id, len(words) AS n_words,
+    CASE WHEN len(words) >= 5
+      THEN list_transform(range(1, len(words) - 3),
+           i -> array_to_string(words[i:i+4], ' '))
+      WHEN len(words) >= 1 THEN [array_to_string(words, ' ')]
+      ELSE [] END AS shingles
+  FROM wd
+), hs AS (
+  SELECT doc_id, len(shingles) AS n_shingles,
+    list_transform(shingles, s -> list_reduce(
+        list_transform(range(1, length(s)+1),
+                       j -> CAST(ascii(substring(s, j, 1)) AS BIGINT)),
+        (a, b) -> (a * 31 + b) % 1000000007)) AS h
+  FROM sh
+), fp AS (
+  SELECT doc_id, n_shingles,
+    CASE WHEN len(h) >= 4
+      THEN list_distinct(list_transform(range(1, len(h) - 2),
+           i -> list_aggregate(h[i:i+3], 'min')))
+      WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
+      ELSE [] END AS fps
+  FROM hs
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_bytes_rollup": (
@@ -2788,6 +2895,54 @@ def oracle_sql() -> dict[str, str]:
                         / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT)
                    AS jac_ppm
             FROM s a, s b WHERE a.doc_id < b.doc_id
+        """,
+        "winnow_fingerprints": _WINNOW_CTE.format(
+            src="SELECT doc_id, text FROM documents"
+        )
+        + """
+            SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+                   CAST(len(fps) AS BIGINT) AS n_fp,
+                   list_aggregate(fps, 'min') AS fp_min,
+                   list_aggregate(fps, 'max') AS fp_max,
+                   CAST(coalesce(list_reduce(fps, (a, b) -> xor(a, b)), 0)
+                        AS BIGINT) AS fp_xor
+            FROM fp ORDER BY doc_id
+        """,
+        "winnow_pairs": _WINNOW_CTE.format(
+            src="""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 15"""
+        )
+        + """
+            , post AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+            ok AS (SELECT f FROM post GROUP BY f HAVING COUNT(*) <= 64),
+            kept AS (SELECT doc_id, f FROM post JOIN ok USING (f))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_shared
+            FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+            ), t AS (
+              SELECT SUM(n_docs) AS n,
+                     list_reduce(list(sqrt(CAST(n_docs AS DOUBLE))
+                                      ORDER BY lang), (a, b) -> a + b) AS s
+              FROM c
+            ), k AS (
+              SELECT * FROM (VALUES ('de', 52), ('en', 81), ('es', 49),
+                                    ('fr', 37), ('zh', 41))
+                   AS v(lang, n_kept)
+            )
+            SELECT c.lang, c.n_docs,
+                   CAST(floor(least(1.0, (0.5 * t.n)
+                        * (sqrt(CAST(c.n_docs AS DOUBLE)) / t.s)
+                        / c.n_docs) * 1000000) AS BIGINT) AS rate_ppm,
+                   CAST(k.n_kept AS BIGINT) AS n_kept
+            FROM c CROSS JOIN t JOIN k USING (lang)
+            ORDER BY lang
         """,
         "shingle_stats": r"""
             WITH w AS (

@@ -8,6 +8,8 @@ from linguistjs_spark.operators.sampling import (
     deterministic_sample,
     sample_hash_col,
     stratified_sample,
+    temperature_rates_ppm,
+    temperature_sample,
 )
 
 
@@ -65,6 +67,51 @@ def test_stratified_fractions_and_default(spark):
     assert abs(by_lang["en"] / 1000 - 0.5) < 0.06
     assert abs(by_lang["de"] / 1000 - 0.1) < 0.04
     assert "fr" not in by_lang and "zz" not in by_lang  # default 0.0
+
+
+def test_temperature_rates_alpha1_is_flat(spark):
+    # alpha=1 is natural multinomial sampling: every stratum keeps exactly
+    # budget_frac (T*p_l/n_l = T/N), regardless of skew.
+    counts = {"en": 9000, "de": 900, "zz": 13}
+    ppm = temperature_rates_ppm(counts, alpha=1.0, budget_frac=0.25)
+    assert all(v == 250_000 for v in ppm.values())
+
+
+def test_temperature_rates_upweight_tail(spark):
+    counts = {"en": 10_000, "zz": 100}
+    ppm = temperature_rates_ppm(counts, alpha=0.5, budget_frac=0.5)
+    assert ppm["zz"] > ppm["en"]
+    assert all(0 <= v <= 1_000_000 for v in ppm.values())
+    # expected kept total stays within the budget (floor only rounds down)
+    exp_kept = sum(counts[k] * ppm[k] / 1e6 for k in counts)
+    assert exp_kept <= 0.5 * sum(counts.values()) + 1
+
+
+def test_temperature_rates_cap_and_empty(spark):
+    # tiny stratum under a generous budget hits the min(1, .) cap
+    ppm = temperature_rates_ppm({"en": 10_000, "zz": 4}, alpha=0.5,
+                                budget_frac=0.9)
+    assert ppm["zz"] == 1_000_000
+    assert temperature_rates_ppm({}) == {}
+
+
+def test_temperature_sample_deterministic_and_layout_stable(spark):
+    docs = _docs(spark, 4000)
+    a = sorted(r.doc_id for r in
+               temperature_sample(docs, seed=11).collect())
+    b = sorted(r.doc_id for r in
+               temperature_sample(docs.repartition(17), seed=11).collect())
+    assert a == b and len(a) > 0
+
+
+def test_temperature_sample_matches_rates(spark):
+    docs = _docs(spark, 4000)  # 1000 per lang
+    ppm = temperature_rates_ppm({"en": 1000, "de": 1000, "fr": 1000,
+                                 "zz": 1000}, alpha=0.5, budget_frac=0.5)
+    # symmetric counts: every lang keeps the same rate (500000 ppm)
+    assert len(set(ppm.values())) == 1
+    got = temperature_sample(docs, seed=3).count()
+    assert abs(got / 4000 - 0.5) < 0.03
 
 
 def test_sample_filter_is_pushed_to_scan(spark, tmp_path):
