@@ -200,8 +200,11 @@ _WIDE_EXT_LANGS = [
     (".sj", "Objective-J"), (".twig", "Twig"), (".uc", "UnrealScript"),
     (".ur", "UrWeb"), (".vb", "Visual Basic .NET"), (".vbs", "VBScript"),
     (".vtl", "Velocity Template Language"), (".vtt", "WebVTT"),
-    # batch-2 widening (scripts/widen_snapshot2.py)
-    (".mojo", "Mojo"), (".astro", "Astro"), (".kdl", "KDL"),
+    # batch-2 widening (scripts/widen_snapshot2.py). Batch 14 made .mojo
+    # heuristic-gated (Mojo/XML group), so its wide pin — which requires a
+    # text-INDEPENDENT classification — moved to the single-claimant flame
+    # alias; .mojo itself is pinned per rule branch in _HEUR_CASES.
+    (".\U0001F525", "Mojo"), (".astro", "Astro"), (".kdl", "KDL"),
     (".rexx", "REXX"), (".x68", "Assembly"),
     (".red", "Red"), (".self", "Self"), (".boo", "Boo"), (".x10", "X10"),
     (".rsh", "RenderScript"), (".ring", "Ring"), (".ik", "Ioke"),
@@ -594,6 +597,9 @@ _HEUR_CASES = [
     (".nr", "fn main() {\n    assert(1 == 1);\n}\n", "Noir"),
     (".workflow", '<?xml version="1.0"?>\n<workflow></workflow>\n', "XML"),
     (".workflow", 'workflow "on-push" {\n  on = "push"\n}\n', "HCL"),
+    # batch 14 (widen_heuristics14.py): Mojo/XML
+    (".mojo", "from python import Python\nfn main():\n    pass\n", "Mojo"),
+    (".mojo", '<?xml version="1.0"?>\n<intention/>\n', "XML"),
 ]
 
 
