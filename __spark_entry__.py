@@ -600,6 +600,12 @@ _HEUR_CASES = [
     # batch 14 (widen_heuristics14.py): Mojo/XML
     (".mojo", "from python import Python\nfn main():\n    pass\n", "Mojo"),
     (".mojo", '<?xml version="1.0"?>\n<intention/>\n', "XML"),
+    # batch 15 (widen_heuristics15.py): FLUX/HLSL and Mathematica/Text
+    (".fx", "func blur(img, radius) (\n    img\n)\n", "FLUX"),
+    (".fx", "technique T0 {\n    pass P0 {}\n}\n", "HLSL"),
+    (".nb", "(* Content-type: application/vnd.wolfram.mathematica *)\n"
+            "Notebook[{Cell[\"hi\"]}]\n", "Mathematica"),
+    (".nb", "meeting notes\n- agenda item one\n- agenda item two\n", "Text"),
 ]
 
 
