@@ -450,6 +450,18 @@ def main() -> None:
             lambda: lambda: _E.q_quality_funnel(spark, SF_DIR).collect(),
         )
 
+        # round-4 op: winnowing fingerprint candidate pairs (Schleimer et
+        # al. 2003) in production xxhash64 mode — per-doc HOF fingerprint
+        # map, then the inverted-index equi-join with the max_df cap
+        from linguistjs_spark.operators import fingerprint as FP
+
+        run_leg(
+            "winnow_pairs", queries, queries_host,
+            lambda: lambda: FP.winnow_candidate_pairs(
+                fresh_docs(), min_shared=2, max_df=64
+            ).count(),
+        )
+
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to
