@@ -1524,6 +1524,22 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_image_near_dup(spark, sf_dir):
+    # Multimodal near-dup: 64-bit average-hash per image (mapInPandas,
+    # fake decode = byte-cycled thumbnail, same thresholding math as the
+    # real PIL path) -> 16-bit-slice pigeonhole hamming join. Six planted
+    # one-pixel-perturbed pairs are the known ground truth; the oracle is
+    # the independent exhaustive twin (ann_twin.image_near_dup_expected).
+    from linguistjs_spark.operators.multimodal import image_near_dup
+
+    media = synthetic_media_df(spark, 64, plant_near_dups=6)
+    return (
+        image_near_dup(media, max_hamming=3, fake=True)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("a", "b")
+    )
+
+
 def q_duplicated_spans(spark, sf_dir):
     # Span-level exact-substring dedup stats (Lee et al. 2022, fixed-length
     # distributed variant): planted full copies (doc_id+1M) guarantee known
@@ -1735,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_pairs": q_winnow_pairs,
         "temperature_mix": q_temperature_mix,
+        "image_near_dup": q_image_near_dup,
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
@@ -1839,6 +1856,19 @@ def _simhash_pairs_oracle_sql() -> str:
     from linguistjs_spark.ann_twin import simhash_pairs_expected
 
     rows = simhash_pairs_expected(_ORACLE_SF_DIR, max_hamming=3)
+    return _values_sql(
+        rows,
+        "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+        "CAST(h AS BIGINT) AS hamming FROM (VALUES {values}) t(a, b, h)",
+        "SELECT CAST(NULL AS BIGINT) a, CAST(NULL AS BIGINT) b, "
+        "CAST(NULL AS BIGINT) hamming WHERE FALSE",
+    )
+
+
+def _image_near_dup_oracle_sql() -> str:
+    from linguistjs_spark.ann_twin import image_near_dup_expected
+
+    rows = image_near_dup_expected(n=64, plant=6, max_hamming=3)
     return _values_sql(
         rows,
         "SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
@@ -2956,6 +2986,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c CROSS JOIN t JOIN k USING (lang)
             ORDER BY lang
         """,
+        "image_near_dup": _image_near_dup_oracle_sql(),
         "shingle_stats": r"""
             WITH w AS (
               SELECT source,

@@ -158,6 +158,50 @@ def simhash_pairs_expected(
     return sorted(out)
 
 
+def image_near_dup_expected(
+    n: int = 64, plant: int = 6, max_hamming: int = 3
+) -> list[tuple[int, int, int]]:
+    """multimodal.image_near_dup twin (fake decode): EXHAUSTIVE hamming<=k
+    aHash pairs over the synthetic fixture's image rows — also proves the
+    16-bit-slice pigeonhole join loses nothing. Regenerates the fixture
+    payloads arithmetically (multimodal.synthetic_media_df's contract) and
+    recomputes the byte-cycled average hash independently."""
+    payloads: dict[int, bytes] = {}
+    for i in range(n):
+        if i % 3 == 0:  # image rows of the base fixture
+            payloads[i] = bytes(
+                (i * 7 + j) % 256 for j in range(32 + i % 100)
+            )
+    for p in range(plant):
+        base = bytes(245 if (j >> (p % 6)) & 1 else 10 for j in range(64))
+        tw = bytearray(base)
+        pos = p % 64
+        tw[pos] = 10 if base[pos] == 245 else 245
+        payloads[1000 + 2 * p] = base
+        payloads[1001 + 2 * p] = bytes(tw)
+
+    def ahash(data: bytes) -> int:
+        data = data or b"\x00"
+        px = [data[j % len(data)] for j in range(64)]
+        mean = sum(px) / 64
+        h = 0
+        for j, v in enumerate(px):
+            if v > mean:
+                h |= 1 << j
+        return h
+
+    hs = sorted((i, ahash(b)) for i, b in payloads.items())
+    out = []
+    for x in range(len(hs)):
+        for y in range(x + 1, len(hs)):
+            a, ha = hs[x]
+            b, hb = hs[y]
+            d = bin(ha ^ hb).count("1")
+            if d <= max_hamming:
+                out.append((a, b, d))
+    return sorted(out)
+
+
 def semantic_dedup_expected(
     sf_dir: str, n_centroids: int = 8, threshold: float = 0.95,
     iters: int = 5, plant_below: int = 8, plant_offset: int = 1_000_000,

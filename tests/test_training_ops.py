@@ -184,6 +184,60 @@ def test_media_real_pil_decode(spark):
     assert got[2].feature[15] == pytest.approx(1.0)
 
 
+def test_image_near_dup_planted_pairs(spark):
+    # aHash hamming near-dup: each planted pair differs at one pixel whose
+    # value straddles the mean, so its hashes differ in exactly one bit
+    from linguistjs_spark.operators.multimodal import image_near_dup
+
+    media = synthetic_media_df(spark, 64, plant_near_dups=6)
+    pairs = {(r.a, r.b): r.hamming
+             for r in image_near_dup(media, max_hamming=3, fake=True).collect()}
+    for p in range(6):
+        assert pairs.get((1000 + 2 * p, 1001 + 2 * p)) == 1
+    # exhaustive twin agreement (also proves the pigeonhole join is lossless)
+    from linguistjs_spark.ann_twin import image_near_dup_expected
+
+    expected = {(a, b): h for a, b, h in image_near_dup_expected(64, 6, 3)}
+    assert pairs == expected
+    # non-image rows never reach the hash kernel
+    assert all(a >= 1000 or a % 3 == 0 for a, _ in pairs)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "linguistjs_spark.operators.multimodal", fromlist=["x"]
+    ).real_image_decode_available(),
+    reason="Pillow not importable in this environment",
+)
+def test_image_near_dup_real_pil_path(spark):
+    # real decode path: identical images collide (hamming 0); a flat image
+    # vs its one-quadrant-inverted variant lands far apart (> 3)
+    import io
+
+    from PIL import Image
+
+    from linguistjs_spark.operators.multimodal import MEDIA_SCHEMA, image_near_dup
+
+    def png(pixels):
+        img = Image.new("L", (16, 16))
+        img.putdata(pixels)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    # gradient image: halves split dark/bright so the thumbnail has
+    # structure (an all-constant image hashes to 0 everywhere)
+    grad = [0 if (i // 16) < 8 else 255 for i in range(256)]
+    flipped = [255 - v for v in grad]
+    rows = [(1, png(grad), "image", None, None, None),
+            (2, png(grad), "image", None, None, None),
+            (3, png(flipped), "image", None, None, None)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {(r.a, r.b): r.hamming
+           for r in image_near_dup(media, max_hamming=3, fake=False).collect()}
+    assert got == {(1, 2): 0}
+
+
 def _wav_bytes(rate, n_ch, n_frames, sampwidth=2, loud_16th=None):
     """Deterministic PCM WAV: silence, with one 16th of the timeline at
     full square-wave amplitude when loud_16th is given (integer samples —
