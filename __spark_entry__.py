@@ -606,6 +606,10 @@ _HEUR_CASES = [
     (".nb", "(* Content-type: application/vnd.wolfram.mathematica *)\n"
             "Notebook[{Cell[\"hi\"]}]\n", "Mathematica"),
     (".nb", "meeting notes\n- agenda item one\n- agenda item two\n", "Text"),
+    # batch 16 (widen_heuristics16.py): new branches in existing groups
+    (".pm", "/* XPM */\nstatic char *icon[] = {\n", "X PixMap"),
+    (".gs", "#version 330 core\nlayout(points) in;\nvoid main() {}\n",
+     "GLSL"),
 ]
 
 
