@@ -290,6 +290,8 @@ _WIDE_EXT_LANGS = [
     (".ha", "Hare"), (".pickle", "Pickle"), (".slang", "Slang"),
     (".axs.erb", "NetLinx+ERB"), (".mms", "Module Management System"),
     (".cil", "CIL"),
+    # batch-17 widening (scripts/widen_langs17.py): VB6 designer files
+    (".ctl", "Visual Basic 6.0"), (".dsr", "Visual Basic 6.0"),
 ]
 
 
