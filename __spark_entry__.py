@@ -1546,6 +1546,60 @@ def q_image_near_dup(spark, sf_dir):
     )
 
 
+def q_domain_pagerank(spark, sf_dir):
+    # Link-graph quality prior (operators/link_graph.py): deterministic
+    # anchored html is synthesized per document (three modular-arithmetic
+    # partner links), then the REAL operator chain runs — href regex
+    # extraction -> weighted domain edges -> 3 PageRank iterations in
+    # DataFrame algebra. The oracle restates the edge arithmetic and the
+    # unrolled iterations as DuckDB CTEs.
+    from linguistjs_spark.operators import link_graph as LG
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    n_df = F.broadcast(docs.agg(F.count("*").alias("_n")))
+    pages = docs.crossJoin(n_df)
+    anchors = []
+    for i, (q, m, c) in enumerate(_PAGERANK_LINKS):
+        b = docs.select(
+            F.col("doc_id").alias(f"_bid{i}"),
+            F.col("source").alias(f"_bsrc{i}"),
+        )
+        pages = pages.join(
+            b,
+            (
+                (F.col("doc_id") * F.col("doc_id") * q
+                 + F.col("doc_id") * m + c) % F.col("_n")
+            ) == F.col(f"_bid{i}"),
+        )
+        anchors.append(
+            F.concat(
+                F.lit('<a href="https://'), F.col(f"_bsrc{i}"),
+                F.lit(".example/p/"), F.col(f"_bid{i}").cast("string"),
+                F.lit('">l</a>'),
+            )
+        )
+    pages = pages.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), *anchors, F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    edges = LG.domain_edges(LG.extract_outlinks(pages))
+    return LG.domain_pagerank(edges, iters=3, damping=0.85).orderBy("domain")
+
+
+# (quadratic, linear, constant) partner coefficients: partner doc =
+# (q*d^2 + m*d + c) % n. The two quadratic maps land only on the
+# quadratic-residue classes, so in-link mass is genuinely skewed (some
+# domains get 2x the uniform share, others zero) — a uniform-rank bug
+# cannot pass; the linear map keeps every domain reachable as a source.
+_PAGERANK_LINKS = [(1, 0, 7), (3, 0, 11), (0, 17, 3)]
+
+
 def q_duplicated_spans(spark, sf_dir):
     # Span-level exact-substring dedup stats (Lee et al. 2022, fixed-length
     # distributed variant): planted full copies (doc_id+1M) guarantee known
@@ -1758,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "temperature_mix": q_temperature_mix,
         "image_near_dup": q_image_near_dup,
+        "domain_pagerank": q_domain_pagerank,
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
@@ -1869,6 +1924,53 @@ def _simhash_pairs_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) a, CAST(NULL AS BIGINT) b, "
         "CAST(NULL AS BIGINT) hamming WHERE FALSE",
     )
+
+
+def _domain_pagerank_oracle_sql() -> str:
+    """Unrolled-CTE restatement of q_domain_pagerank: the fixture's three
+    modular partner links, the weighted domain graph, and three weighted
+    PageRank iterations with uniform dangling redistribution."""
+    link_ctes = " UNION ALL ".join(
+        f"SELECT a.source AS s, b.source AS d FROM documents a "
+        f"CROSS JOIN nn JOIN documents b "
+        f"ON b.doc_id = (a.doc_id * a.doc_id * {q} "
+        f"+ a.doc_id * {m} + {c}) % nn.c"
+        for q, m, c in _PAGERANK_LINKS
+    )
+    sql = f"""
+    WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+    links AS ({link_ctes}),
+    edges AS (
+      SELECT lower(s) || '.example' AS src, lower(d) || '.example' AS dst,
+             COUNT(*) AS w
+      FROM links WHERE s <> d GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT DISTINCT domain FROM (
+        SELECT src AS domain FROM edges UNION SELECT dst FROM edges)
+    ),
+    nc AS (SELECT COUNT(*) AS c FROM nodes),
+    deg AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+    r0 AS (SELECT domain, 1.0 / (SELECT c FROM nc) AS rank FROM nodes)"""
+    prev = "r0"
+    for i in (1, 2, 3):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS domain, SUM({prev}.rank * e.w / deg.outw) AS contrib
+      FROM edges e JOIN deg ON deg.src = e.src
+      JOIN {prev} ON {prev}.domain = e.src GROUP BY e.dst),
+    g{i} AS (
+      SELECT COALESCE(SUM(r.rank), 0) AS m FROM {prev} r
+      LEFT JOIN deg ON deg.src = r.domain WHERE deg.src IS NULL),
+    r{i} AS (
+      SELECT nd.domain,
+             {1.0 - 0.85!r} / (SELECT c FROM nc)
+             + 0.85 * (COALESCE(c{i}.contrib, 0)
+                       + (SELECT m FROM g{i}) / (SELECT c FROM nc)) AS rank
+      FROM nodes nd LEFT JOIN c{i} ON c{i}.domain = nd.domain)"""
+        prev = f"r{i}"
+    sql += f"\n    SELECT domain, rank FROM {prev} ORDER BY domain"
+    return sql
 
 
 def _image_near_dup_oracle_sql() -> str:
@@ -2993,6 +3095,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lang
         """,
         "image_near_dup": _image_near_dup_oracle_sql(),
+        "domain_pagerank": _domain_pagerank_oracle_sql(),
         "shingle_stats": r"""
             WITH w AS (
               SELECT source,

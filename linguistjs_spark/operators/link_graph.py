@@ -1,0 +1,130 @@
+"""Link-graph operators: outlink extraction, domain edges, PageRank.
+
+The web-pipeline quality prior the reference has no analog for: real
+Common-Crawl curation pipelines extract the hyperlink graph from raw html
+and use link-based centrality (PageRank, Brin & Page 1998) as a
+domain-level quality signal alongside content rules. Recast for this
+engine's pages table (SURVEY.md recasts path-tree operators as URL/domain
+operators):
+
+* ``extract_outlinks`` — one native scan: ``regexp_extract_all`` over the
+  decoded html pulls every ``href="..."`` target, exploded to
+  ``(url, outlink)`` rows. No Python, no join; the html blob never
+  survives past the projection.
+* ``domain_edges`` — collapse links to the weighted domain graph
+  ``(src, dst, w)`` with one map-side-combined groupBy (same Zipf-skew
+  stance as ``url_ops.domain_rollup``: partial aggregation collapses hot
+  domains per-partition before the exchange).
+* ``domain_pagerank`` — fixed-iteration weighted PageRank in pure
+  DataFrame algebra (the iterative pattern of ``dedup.near_dup_clusters``):
+  per iteration one (src)-keyed join to propagate rank/out-weight along
+  edges and one (dst)-keyed groupBy to sum contributions. Dangling mass
+  is redistributed uniformly (rank stays a probability distribution).
+  The two scalars the driver holds (node count, per-iteration dangling
+  mass) are 1-row broadcast aggregates — nothing proportional to the
+  graph ever reaches the driver. Lineage is truncated with
+  localCheckpoint every other iteration so a deep iteration count cannot
+  blow up the plan. At 10^12 pages the domain graph is ~10^8 nodes: every
+  step here is a keyed shuffle on domains, the standard distributed
+  PageRank shape.
+
+Oracle: the driver query restates the fixture's edge arithmetic and the
+unrolled iterations as DuckDB CTEs (``__spark_entry__._domain_pagerank
+_oracle_sql``); parity is float-robust because each rank is a sum over a
+bounded in-neighborhood re-rounded to 6 significant digits by the
+driver's canonicalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .url_ops import domain_col
+
+# href extraction: attribute-quoted targets only (both quote styles);
+# conservative RE2-safe pattern shared verbatim with the SQL oracle.
+HREF_PAT = r"""href\s*=\s*["']([^"']+)["']"""
+
+
+def outlinks_col(html_text: Column) -> Column:
+    """Array of href targets in the (decoded) html string."""
+    return F.regexp_extract_all(html_text, F.lit(HREF_PAT), 1)
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(url, outlink)`` — one row per href occurrence (multiplicity
+    preserved; the edge weight downstream is the link count)."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            outlinks_col(F.decode(F.col(html_col), "UTF-8"))
+        ).alias("outlink"),
+    )
+
+
+def domain_edges(links: DataFrame) -> DataFrame:
+    """Weighted domain graph from ``(url, outlink)`` rows: ``(src, dst,
+    w)``; intra-domain self-links and non-URL-shaped hrefs (relative
+    links — '' domain) are dropped."""
+    e = links.select(
+        domain_col(F.col("url")).alias("src"),
+        domain_col(F.col("outlink")).alias("dst"),
+    )
+    return (
+        e.filter((F.col("src") != "") & (F.col("dst") != "")
+                 & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+
+def domain_pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """``(domain, rank)`` after ``iters`` weighted-PageRank iterations.
+
+    rank_{t+1}(d) = (1-c)/N + c * (sum_in w/outw * rank_t + dangling_t/N)
+    with c=damping; ranks sum to 1 every iteration."""
+    nodes = (
+        edges.select(F.col("src").alias("domain"))
+        .union(edges.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    n_df = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+    deg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    ranks = nodes.crossJoin(n_df).select(
+        "domain", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for i in range(iters):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("domain", "src"), "src")
+            .groupBy(F.col("dst").alias("domain"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("outw"))
+                 .alias("contrib"))
+        )
+        dang = F.broadcast(
+            ranks.join(deg, ranks.domain == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .crossJoin(n_df)
+            .crossJoin(dang)
+            .select(
+                "domain",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                 + F.col("_dang") / F.col("_n"))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 2 == 0 and i + 1 < iters:
+            # truncate lineage like dedup.near_dup_clusters — a deep
+            # iteration count must not compound the plan
+            ranks = ranks.localCheckpoint()
+    return ranks
