@@ -95,16 +95,19 @@ def domain_pagerank(
     )
     n_df = F.broadcast(nodes.agg(F.count("*").alias("_n")))
     deg = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    # normalize ONCE outside the loop: each iteration then needs a single
+    # (src) join + (dst) groupBy, not a re-join against the degree table
+    norm = edges.join(deg, "src").select(
+        "src", "dst", (F.col("w") / F.col("outw")).alias("share")
+    )
     ranks = nodes.crossJoin(n_df).select(
         "domain", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for i in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("domain", "src"), "src")
+            norm.join(ranks.withColumnRenamed("domain", "src"), "src")
             .groupBy(F.col("dst").alias("domain"))
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("outw"))
-                 .alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
         )
         dang = F.broadcast(
             ranks.join(deg, ranks.domain == deg.src, "left_anti")

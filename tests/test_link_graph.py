@@ -82,6 +82,18 @@ def test_pagerank_hand_graph_with_dangling(spark):
     assert got["c"] > got["b"]  # c collects from both
 
 
+def test_pagerank_plan_no_cartesian(spark):
+    # the only nested-loop joins are the intended 1-row broadcast scalars
+    # (node count, dangling mass); the edge/rank joins are keyed
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)],
+        "src string, dst string, w long",
+    )
+    plan = LG.domain_pagerank(edges, iters=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_pagerank_deep_iters_lineage_bounded(spark):
     # 8 iterations exercise the localCheckpoint truncation path; ranks
     # still sum to 1 and match the python twin
