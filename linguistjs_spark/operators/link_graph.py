@@ -81,13 +81,10 @@ def domain_edges(links: DataFrame) -> DataFrame:
     )
 
 
-def domain_pagerank(
-    edges: DataFrame, iters: int = 3, damping: float = 0.85
-) -> DataFrame:
-    """``(domain, rank)`` after ``iters`` weighted-PageRank iterations.
-
-    rank_{t+1}(d) = (1-c)/N + c * (sum_in w/outw * rank_t + dangling_t/N)
-    with c=damping; ranks sum to 1 every iteration."""
+def pagerank_graph(edges: DataFrame):
+    """Shared iteration inputs: ``(nodes, n_df, deg, norm)`` — the node
+    set, its 1-row broadcast count, out-weights, and the once-normalized
+    edge shares."""
     nodes = (
         edges.select(F.col("src").alias("domain"))
         .union(edges.select(F.col("dst").alias("domain")))
@@ -100,32 +97,55 @@ def domain_pagerank(
     norm = edges.join(deg, "src").select(
         "src", "dst", (F.col("w") / F.col("outw")).alias("share")
     )
-    ranks = nodes.crossJoin(n_df).select(
+    return nodes, n_df, deg, norm
+
+
+def pagerank_init(nodes: DataFrame, n_df: DataFrame) -> DataFrame:
+    return nodes.crossJoin(n_df).select(
         "domain", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
+
+
+def pagerank_step(
+    nodes: DataFrame, n_df: DataFrame, deg: DataFrame, norm: DataFrame,
+    ranks: DataFrame, damping: float,
+) -> DataFrame:
+    """One weighted-PageRank update with uniform dangling redistribution:
+    rank'(d) = (1-c)/N + c * (sum_in share * rank + dangling/N)."""
+    contrib = (
+        norm.join(ranks.withColumnRenamed("domain", "src"), "src")
+        .groupBy(F.col("dst").alias("domain"))
+        .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+    )
+    dang = F.broadcast(
+        ranks.join(deg, ranks.domain == deg.src, "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+    )
+    return (
+        nodes.join(contrib, "domain", "left")
+        .crossJoin(n_df)
+        .crossJoin(dang)
+        .select(
+            "domain",
+            (
+                (1.0 - damping) / F.col("_n")
+                + damping * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.col("_dang") / F.col("_n"))
+            ).alias("rank"),
+        )
+    )
+
+
+def domain_pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """``(domain, rank)`` after ``iters`` weighted-PageRank iterations;
+    ranks sum to 1 every iteration. For a restartable long run use
+    ``streaming.resume.resumable_pagerank`` (per-iteration checkpoints)."""
+    nodes, n_df, deg, norm = pagerank_graph(edges)
+    ranks = pagerank_init(nodes, n_df)
     for i in range(iters):
-        contrib = (
-            norm.join(ranks.withColumnRenamed("domain", "src"), "src")
-            .groupBy(F.col("dst").alias("domain"))
-            .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
-        )
-        dang = F.broadcast(
-            ranks.join(deg, ranks.domain == deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
-        )
-        ranks = (
-            nodes.join(contrib, "domain", "left")
-            .crossJoin(n_df)
-            .crossJoin(dang)
-            .select(
-                "domain",
-                (
-                    (1.0 - damping) / F.col("_n")
-                    + damping * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                 + F.col("_dang") / F.col("_n"))
-                ).alias("rank"),
-            )
-        )
+        ranks = pagerank_step(nodes, n_df, deg, norm, ranks, damping)
         if (i + 1) % 2 == 0 and i + 1 < iters:
             # truncate lineage like dedup.near_dup_clusters — a deep
             # iteration count must not compound the plan

@@ -245,6 +245,82 @@ def resumable_training_mix(
     return {"processed": pending, "skipped": skipped, "snapshot": snapshot}
 
 
+def resumable_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    output_dir: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    fail_after: int | None = None,
+) -> dict:
+    """Restartable PageRank: the checkpoint unit is the ITERATION.
+
+    Iterative jobs have a different restart shape from the bucket jobs
+    above — iteration t depends on all of t-1, so the unit of work is the
+    whole rank table per iteration, materialized to
+    ``<out>/ranks/iter=<t>`` (parquet _SUCCESS marker = committed).
+    Restart scans the lineage for the last committed iteration under the
+    same (edge-snapshot, damping) and continues from its rank table; a
+    crashed half-written iteration is rewritten wholesale (overwrite).
+    Materializing per iteration also bounds lineage exactly like the
+    in-memory variant's localCheckpoint, with durability added.
+
+    ``fail_after=k`` injects a crash after committing k pending
+    iterations (test hook, same idiom as resumable_run). Returns
+    {"processed": [...], "skipped": [...], "snapshot": ...}; read the
+    final table with ``pagerank_ranks``.
+    """
+    from ..operators.link_graph import (
+        pagerank_graph, pagerank_init, pagerank_step,
+    )
+
+    lineage_dir = f"{output_dir}/_lineage"
+    snapshot = f"{input_snapshot_id(edges)}:d={damping!r}"
+    done = completed_buckets(spark, lineage_dir, snapshot)
+
+    nodes, n_df, deg, norm = pagerank_graph(edges)
+    skipped = sorted(b for b in done if b <= iters)
+    start = 0
+    while start + 1 in done:
+        start += 1
+    pending = list(range(start + 1, iters + 1))
+    if fail_after is not None and len(pending) > fail_after:
+        crash_after = True
+        pending = pending[:fail_after]
+    else:
+        crash_after = False
+    if not pending:
+        return {"processed": [], "skipped": skipped, "snapshot": snapshot}
+
+    ranks = (
+        pagerank_init(nodes, n_df) if start == 0
+        else spark.read.parquet(f"{output_dir}/ranks/iter={start}")
+    )
+    processed = []
+    for it in pending:
+        t0 = time.perf_counter()
+        ranks = pagerank_step(nodes, n_df, deg, norm, ranks, damping)
+        ranks.write.mode("overwrite").parquet(f"{output_dir}/ranks/iter={it}")
+        ranks = spark.read.parquet(f"{output_dir}/ranks/iter={it}")
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        n_rows = ranks.count()
+        spark.createDataFrame(
+            [(it, snapshot, "ok", n_rows, n_rows, wall_ms)],
+            schema="bucket int, input_snapshot string, status string, "
+            "rows_in long, rows_kept long, wall_ms long",
+        ).withColumn("finished_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(lineage_dir)
+        processed.append(it)
+    if crash_after:
+        raise RuntimeError(f"injected failure after {fail_after} iterations")
+    return {"processed": processed, "skipped": skipped, "snapshot": snapshot}
+
+
+def pagerank_ranks(spark: SparkSession, output_dir: str, it: int) -> DataFrame:
+    return spark.read.parquet(f"{output_dir}/ranks/iter={it}")
+
+
 def training_mix_rollup(spark: SparkSession, output_dir: str) -> DataFrame:
     """Per-lang (n_docs, bytes) over the materialized mix — the same shape
     as the one-shot ``training_mix`` driver query's output."""

@@ -94,6 +94,33 @@ def test_pagerank_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_resumable_pagerank_crash_and_resume(spark, tmp_path):
+    # per-iteration checkpointing: crash after 2 of 4 iterations, resume
+    # completes 3-4 from the committed iter-2 table, re-run is a no-op,
+    # and the final ranks match the one-shot in-memory variant
+    from linguistjs_spark.streaming.resume import (
+        pagerank_ranks, resumable_pagerank,
+    )
+
+    edge_rows = [("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1)]
+    edges = spark.createDataFrame(edge_rows, "src string, dst string, w long")
+    out = str(tmp_path / "pr")
+
+    with pytest.raises(RuntimeError, match="injected"):
+        resumable_pagerank(spark, edges, out, iters=4, fail_after=2)
+    res = resumable_pagerank(spark, edges, out, iters=4)
+    assert res["skipped"] == [1, 2]
+    assert res["processed"] == [3, 4]
+    again = resumable_pagerank(spark, edges, out, iters=4)
+    assert again["processed"] == []
+
+    got = {r.domain: r["rank"] for r in pagerank_ranks(spark, out, 4).collect()}
+    want = {r.domain: r["rank"]
+            for r in LG.domain_pagerank(edges, iters=4).collect()}
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-9)
+
+
 def test_pagerank_deep_iters_lineage_bounded(spark):
     # 8 iterations exercise the localCheckpoint truncation path; ranks
     # still sum to 1 and match the python twin
