@@ -462,6 +462,36 @@ def main() -> None:
             ).count(),
         )
 
+        # round-4 op: iterative link-graph machinery at scale — 2M-edge
+        # synthetic domain graph (100k nodes, Zipf-ish in-degree via a
+        # squared hash), 3 weighted PageRank iterations. Measures the
+        # per-iteration keyed join + groupBy shape, not the fixture-sized
+        # driver query.
+        from linguistjs_spark.operators import link_graph as LGR
+
+        def _pagerank_job():
+            n_dom = 100_000
+            e = spark.range(2_000_000).select(
+                F.concat(F.lit("d"), (F.col("id") % n_dom).cast("string"))
+                .alias("src"),
+                F.concat(
+                    F.lit("d"),
+                    (
+                        F.pmod(F.xxhash64(F.col("id")), F.lit(n_dom))
+                        * F.pmod(F.xxhash64(F.col("id")), F.lit(n_dom))
+                        % n_dom
+                    ).cast("string"),
+                ).alias("dst"),
+                F.lit(1).cast("long").alias("w"),
+            ).filter(F.col("src") != F.col("dst"))
+            edges = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+            return LGR.domain_pagerank(edges, iters=3).count()
+
+        run_leg(
+            "pagerank_2m", queries, queries_host,
+            lambda: lambda: _pagerank_job(),
+        )
+
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to
