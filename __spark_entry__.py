@@ -1546,15 +1546,10 @@ def q_image_near_dup(spark, sf_dir):
     )
 
 
-def q_domain_pagerank(spark, sf_dir):
-    # Link-graph quality prior (operators/link_graph.py): deterministic
-    # anchored html is synthesized per document (three modular-arithmetic
-    # partner links), then the REAL operator chain runs — href regex
-    # extraction -> weighted domain edges -> 3 PageRank iterations in
-    # DataFrame algebra. The oracle restates the edge arithmetic and the
-    # unrolled iterations as DuckDB CTEs.
-    from linguistjs_spark.operators import link_graph as LG
-
+def _pagerank_pages(spark, sf_dir):
+    """Deterministic anchored-html fixture: three modular-arithmetic
+    partner links per document; anchor TEXT is the partner's source name
+    (the realistic case — sites are linked under their names)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     n_df = F.broadcast(docs.agg(F.count("*").alias("_n")))
     pages = docs.crossJoin(n_df)
@@ -1575,10 +1570,10 @@ def q_domain_pagerank(spark, sf_dir):
             F.concat(
                 F.lit('<a href="https://'), F.col(f"_bsrc{i}"),
                 F.lit(".example/p/"), F.col(f"_bid{i}").cast("string"),
-                F.lit('">l</a>'),
+                F.lit('">'), F.col(f"_bsrc{i}"), F.lit("</a>"),
             )
         )
-    pages = pages.select(
+    return pages.select(
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example/p/"),
             F.col("doc_id").cast("string"),
@@ -1588,8 +1583,31 @@ def q_domain_pagerank(spark, sf_dir):
             "UTF-8",
         ).alias("html"),
     )
+
+
+def q_domain_pagerank(spark, sf_dir):
+    # Link-graph quality prior (operators/link_graph.py): deterministic
+    # anchored html is synthesized per document (three modular-arithmetic
+    # partner links), then the REAL operator chain runs — href regex
+    # extraction -> weighted domain edges -> 3 PageRank iterations in
+    # DataFrame algebra. The oracle restates the edge arithmetic and the
+    # unrolled iterations as DuckDB CTEs.
+    from linguistjs_spark.operators import link_graph as LG
+
+    pages = _pagerank_pages(spark, sf_dir)
     edges = LG.domain_edges(LG.extract_outlinks(pages))
     return LG.domain_pagerank(edges, iters=3, damping=0.85).orderBy("domain")
+
+
+def q_anchor_stats(spark, sf_dir):
+    # Inbound anchor-text profile per target domain over the same fixture:
+    # the REAL two-capture regex extraction runs against the html; the
+    # oracle restates the link arithmetic (anchor text = partner source
+    # name, so total chars is a length sum).
+    from linguistjs_spark.operators import link_graph as LG
+
+    pages = _pagerank_pages(spark, sf_dir)
+    return LG.anchor_text_stats(LG.extract_anchors(pages)).orderBy("domain")
 
 
 # (quadratic, linear, constant) partner coefficients: partner doc =
@@ -1813,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "image_near_dup": q_image_near_dup,
         "domain_pagerank": q_domain_pagerank,
+        "anchor_stats": q_anchor_stats,
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
@@ -1971,6 +1990,29 @@ def _domain_pagerank_oracle_sql() -> str:
         prev = f"r{i}"
     sql += f"\n    SELECT domain, rank FROM {prev} ORDER BY domain"
     return sql
+
+
+def _anchor_stats_oracle_sql() -> str:
+    """Restates q_anchor_stats: the fixture's partner links with anchor
+    text = partner source name, grouped by target domain (self-links are
+    KEPT here — anchor profiles include a site's self-navigation)."""
+    link_ctes = " UNION ALL ".join(
+        f"SELECT a.source AS s, b.source AS d FROM documents a "
+        f"CROSS JOIN nn JOIN documents b "
+        f"ON b.doc_id = (a.doc_id * a.doc_id * {q} "
+        f"+ a.doc_id * {m} + {c}) % nn.c"
+        for q, m, c in _PAGERANK_LINKS
+    )
+    return f"""
+    WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+    links AS ({link_ctes})
+    SELECT lower(d) || '.example' AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(COUNT(DISTINCT lower(s) || '.example') AS BIGINT)
+               AS n_src_domains,
+           CAST(SUM(length(d)) AS BIGINT) AS total_anchor_chars
+    FROM links GROUP BY 1 ORDER BY 1
+    """
 
 
 def _image_near_dup_oracle_sql() -> str:
@@ -3096,6 +3138,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "image_near_dup": _image_near_dup_oracle_sql(),
         "domain_pagerank": _domain_pagerank_oracle_sql(),
+        "anchor_stats": _anchor_stats_oracle_sql(),
         "shingle_stats": r"""
             WITH w AS (
               SELECT source,

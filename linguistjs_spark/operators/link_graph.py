@@ -65,6 +65,51 @@ def extract_outlinks(
     )
 
 
+# anchor extraction: href + inner text captured by ONE pattern; two
+# regexp_extract_all calls with different group indexes stay aligned
+# because the match set is identical (RE2-safe, shared with the oracle).
+ANCHOR_PAT = r"""<a\s[^>]*href\s*=\s*["']([^"']+)["'][^>]*>([^<]*)</a>"""
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(url, outlink, anchor)`` — one row per ``<a href>`` element with
+    its (tag-free) inner text. Same one-scan shape as extract_outlinks;
+    anchors with markup inside the element are skipped by the conservative
+    ``[^<]*`` body (documented precision-over-recall stance: at corpus
+    scale the lost anchors are the markup-heavy minority)."""
+    html = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_PAT), 1)
+    texts = F.regexp_extract_all(html, F.lit(ANCHOR_PAT), 2)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(F.arrays_zip(hrefs.alias("outlink"), texts.alias("anchor")))
+        .alias("_a"),
+    ).select("url", F.col("_a.outlink").alias("outlink"),
+             F.col("_a.anchor").alias("anchor"))
+
+
+def anchor_text_stats(anchors: DataFrame) -> DataFrame:
+    """Per TARGET domain: how the web describes it — ``(domain,
+    n_anchors, n_src_domains, total_anchor_chars)``. The inbound
+    anchor-text profile is the classic query-independent relevance signal
+    (the other half of the link-graph prior next to PageRank). One
+    map-side-combined groupBy on the target domain; the distinct-source
+    count is an exact count_distinct over the (already tiny) domain pair
+    space — swap for approx_count_distinct at 10^12 rows."""
+    a = anchors.select(
+        domain_col(F.col("url")).alias("src"),
+        domain_col(F.col("outlink")).alias("domain"),
+        F.col("anchor"),
+    ).filter((F.col("src") != "") & (F.col("domain") != ""))
+    return a.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_anchors"),
+        F.count_distinct("src").cast("long").alias("n_src_domains"),
+        F.sum(F.length("anchor")).cast("long").alias("total_anchor_chars"),
+    )
+
+
 def domain_edges(links: DataFrame) -> DataFrame:
     """Weighted domain graph from ``(url, outlink)`` rows: ``(src, dst,
     w)``; intra-domain self-links and non-URL-shaped hrefs (relative

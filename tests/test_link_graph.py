@@ -46,6 +46,29 @@ def test_domain_edges_drop_self_and_relative(spark):
     assert [(e.src, e.dst, e.w) for e in edges] == [("a.com", "b.com", 2)]
 
 
+def test_extract_anchors_aligned_captures(spark):
+    pages = _pages(spark, [
+        ("https://a.com/x",
+         '<a href="https://b.com/1">Site B</a> mid '
+         '<a class="z" href=\'https://c.com/2\'>C!</a>'
+         '<a href="https://d.com/3"><b>markup</b></a>'),  # skipped: [^<]*
+    ])
+    got = sorted((r.outlink, r.anchor)
+                 for r in LG.extract_anchors(pages).collect())
+    assert got == [("https://b.com/1", "Site B"), ("https://c.com/2", "C!")]
+
+
+def test_anchor_text_stats(spark):
+    pages = _pages(spark, [
+        ("https://a.com/x",
+         '<a href="https://t.com/1">one</a><a href="https://t.com/2">four</a>'),
+        ("https://b.com/y", '<a href="https://t.com/3">seven77</a>'),
+    ])
+    rows = LG.anchor_text_stats(LG.extract_anchors(pages)).collect()
+    assert [(r.domain, r.n_anchors, r.n_src_domains, r.total_anchor_chars)
+            for r in rows] == [("t.com", 3, 2, 14)]
+
+
 def _python_pagerank(edges, iters=3, damping=0.85):
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     n = len(nodes)
