@@ -1610,6 +1610,47 @@ def q_anchor_stats(spark, sf_dir):
     return LG.anchor_text_stats(LG.extract_anchors(pages)).orderBy("domain")
 
 
+def q_noindex_filter(spark, sf_dir):
+    # Crawl-compliance filter: robots-meta noindex pages dropped before
+    # any content rule. The fixture plants BOTH attribute orders (doc_id
+    # residues 0 and 3 mod 7); the oracle runs the SAME regexes in DuckDB
+    # over the same synthesized html, so the patterns themselves are
+    # cross-engine pinned, not just the residue arithmetic.
+    from linguistjs_spark.operators.extract import noindex_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    html = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('<meta name="robots" content="noindex,nofollow"><p>'),
+                F.col("text"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit('<meta content="NOINDEX" name="robots"><p>'),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("<p>"), F.col("text")))
+    )
+    pages = docs.select(
+        "doc_id", "source", F.encode(html, "UTF-8").alias("html")
+    )
+    flag = noindex_col(F.col("html"))
+    return (
+        pages.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(flag.cast("long")).alias("n_noindex"),
+            F.sum((~flag).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 # (quadratic, linear, constant) partner coefficients: partner doc =
 # (q*d^2 + m*d + c) % n. The two quadratic maps land only on the
 # quadratic-residue classes, so in-link mass is genuinely skewed (some
@@ -1832,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup": q_image_near_dup,
         "domain_pagerank": q_domain_pagerank,
         "anchor_stats": q_anchor_stats,
+        "noindex_filter": q_noindex_filter,
         "shingle_stats": q_shingle_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "shipped_revenue_window": q_shipped_revenue_window,
@@ -1990,6 +2032,38 @@ def _domain_pagerank_oracle_sql() -> str:
         prev = f"r{i}"
     sql += f"\n    SELECT domain, rank FROM {prev} ORDER BY domain"
     return sql
+
+
+def _noindex_filter_oracle_sql() -> str:
+    """Runs the SAME noindex regexes (extract.NOINDEX_PATS, verbatim) in
+    DuckDB over the same synthesized html — cross-engine pins the
+    patterns, not just the residue arithmetic."""
+    from linguistjs_spark.operators.extract import NOINDEX_PATS
+
+    flag = " OR ".join(
+        "regexp_matches(html, '" + p.replace("'", "''") + "')"
+        for p in NOINDEX_PATS
+    )
+    return f"""
+    WITH pages AS (
+      SELECT source,
+             CASE
+               WHEN doc_id % 7 = 0 THEN
+                 '<meta name="robots" content="noindex,nofollow"><p>' || text
+               WHEN doc_id % 7 = 3 THEN
+                 '<meta content="NOINDEX" name="robots"><p>' || text
+               ELSE '<p>' || text
+             END AS html
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_noindex,
+           CAST(SUM(CASE WHEN {flag} THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept
+    FROM pages GROUP BY source ORDER BY source
+    """
 
 
 def _anchor_stats_oracle_sql() -> str:
@@ -3139,6 +3213,7 @@ def oracle_sql() -> dict[str, str]:
         "image_near_dup": _image_near_dup_oracle_sql(),
         "domain_pagerank": _domain_pagerank_oracle_sql(),
         "anchor_stats": _anchor_stats_oracle_sql(),
+        "noindex_filter": _noindex_filter_oracle_sql(),
         "shingle_stats": r"""
             WITH w AS (
               SELECT source,

@@ -122,6 +122,38 @@ def extracted_pages(pages: DataFrame, html_col: str = "html",
 
 
 # ---------------------------------------------------------------------------
+# robots meta noindex (crawl-compliance filter)
+# ---------------------------------------------------------------------------
+
+# Both attribute orders are live on the web; patterns are RE2-safe and
+# shared VERBATIM with the DuckDB oracle ((?i) is ASCII-folding in both
+# engines for the ASCII-only tag text). Scoped to name="robots" — the
+# UA-specific variants (googlebot etc.) are a crawler-policy decision,
+# not a corpus one (documented stance).
+NOINDEX_PATS = [
+    r"""(?i)<meta[^>]*name\s*=\s*["']robots["'][^>]*content\s*=\s*["'][^"']*noindex""",
+    r"""(?i)<meta[^>]*content\s*=\s*["'][^"']*noindex[^"']*["'][^>]*name\s*=\s*["']robots["']""",
+]
+
+
+def noindex_col(html: Column) -> Column:
+    """True iff the page declares ``<meta name="robots" ... noindex>``
+    (either attribute order). Native rlike pair — one codegen'd scan."""
+    s = html.cast("string")
+    out = F.lit(False)
+    for p in NOINDEX_PATS:
+        out = out | s.rlike(p)
+    return out
+
+
+def filter_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages that opt out of indexing — the crawl-compliance filter a
+    CC-scale corpus applies before any content rule (same one-scan,
+    no-shuffle shape as the vendored/generated URL drops)."""
+    return pages.filter(~noindex_col(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
 # pure-Python twin (oracle side) -- byte-identical to the column chain
 # ---------------------------------------------------------------------------
 

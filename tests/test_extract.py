@@ -182,3 +182,26 @@ def test_twin_parity_hypothesis(spark):
            df.select("i", extract_text_col(F.col("h")).alias("e")).collect()}
     for i, c in enumerate(cases):
         assert got[i] == extract_text(c), repr(c)
+
+
+def test_noindex_flag_both_orders_and_case(spark):
+    from linguistjs_spark.operators.extract import filter_noindex, noindex_col
+
+    rows = [
+        (1, '<meta name="robots" content="noindex">x'),
+        (2, "<meta content='noindex, nofollow' name='robots'>x"),
+        (3, '<META NAME="ROBOTS" CONTENT="NOINDEX">x'),
+        (4, '<meta name="robots" content="index,follow">x'),
+        (5, '<meta name="viewport" content="noindex">x'),  # wrong meta
+        (6, "plain text, no tags"),
+        (7, '<meta name="robots" class="z" content="all, noindex ">x'),
+    ]
+    df = spark.createDataFrame(
+        [(i, h.encode()) for i, h in rows], "doc_id long, html binary"
+    )
+    got = {r.doc_id: r.f for r in
+           df.select("doc_id", noindex_col(F.col("html")).alias("f")).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False,
+                   6: False, 7: True}
+    kept = {r.doc_id for r in filter_noindex(df).collect()}
+    assert kept == {4, 5, 6}
