@@ -7,7 +7,7 @@ Usage (also the spark-submit main, north rule 'spark-submit --py-files'):
         <pages_parquet_dir> [--json] [--tree languages.results]
         [--min-size 100b|1kb|5%|10loc] [--categories programming,markup]
         [--quick] [--child-languages] [--output DIR] [--buckets N]
-        [--gopher-funnel [--funnel-min-words N]]
+        [--gopher-funnel [--funnel-min-words N]] [--drop-noindex]
 """
 
 from __future__ import annotations
@@ -48,6 +48,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--child-languages", action="store_true")
     ap.add_argument("--keep-vendored", action="store_true")
     ap.add_argument("--keep-binary", action="store_true")
+    ap.add_argument("--drop-noindex", action="store_true",
+                    help="drop pages whose html declares robots-meta "
+                         "noindex before any content rule")
     ap.add_argument("--extract-html", action="store_true",
                     help="derive text from the html column for NULL-text rows")
     ap.add_argument("--list-files", action="store_true",
@@ -146,6 +149,14 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.drop_noindex:
+            if "html" not in pages.columns:
+                print("error: --drop-noindex needs an html column",
+                      file=sys.stderr)
+                return 2
+            from .operators.extract import filter_noindex
+
+            pages = filter_noindex(pages)
         if args.gopher_funnel:
             from pyspark.sql import functions as F
 
