@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--drop-noindex", action="store_true",
                     help="drop pages whose html declares robots-meta "
                          "noindex before any content rule")
+    ap.add_argument("--pagerank", action="store_true",
+                    help="link-graph mode: extract hrefs from html, build "
+                         "the weighted domain graph, print top domains by "
+                         "PageRank instead of analysing content")
+    ap.add_argument("--pagerank-iters", type=int, default=3)
+    ap.add_argument("--pagerank-top", type=int, default=20)
     ap.add_argument("--extract-html", action="store_true",
                     help="derive text from the html column for NULL-text rows")
     ap.add_argument("--list-files", action="store_true",
@@ -157,6 +163,31 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.extract import filter_noindex
 
             pages = filter_noindex(pages)
+        if args.pagerank:
+            if "html" not in pages.columns:
+                print("error: --pagerank needs an html column",
+                      file=sys.stderr)
+                return 2
+            from pyspark.sql import functions as F
+
+            from .operators.link_graph import (
+                domain_edges, domain_pagerank, extract_outlinks,
+            )
+
+            edges = domain_edges(extract_outlinks(pages))
+            if not edges.head(1):
+                print("no cross-domain links found in the input")
+                return 0
+            rows = (
+                domain_pagerank(edges, iters=args.pagerank_iters)
+                .orderBy(F.col("rank").desc(), "domain")
+                .limit(args.pagerank_top)
+                .collect()
+            )
+            print(f"{'domain':<40}{'rank':>12}")
+            for r in rows:
+                print(f"{r['domain']:<40}{r['rank']:>12.6f}")
+            return 0
         if args.gopher_funnel:
             from pyspark.sql import functions as F
 
