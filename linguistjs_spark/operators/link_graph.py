@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 from .url_ops import domain_col
 
 # href extraction: attribute-quoted targets only (both quote styles);
-# conservative RE2-safe pattern shared verbatim with the SQL oracle.
+# conservative RE2-safe pattern. (The driver oracle restates the link
+# ARITHMETIC of its fixture rather than re-running this regex; the
+# noindex oracle is the one that pins regexes cross-engine verbatim.)
 HREF_PAT = r"""href\s*=\s*["']([^"']+)["']"""
 
 
@@ -57,17 +59,20 @@ def extract_outlinks(
 ) -> DataFrame:
     """``(url, outlink)`` — one row per href occurrence (multiplicity
     preserved; the edge weight downstream is the link count)."""
+    # cast, not decode: cast is the lenient binary->string conversion
+    # (replacement chars for invalid bytes) — real crawl html is not
+    # guaranteed UTF-8 and the scan must never fail on a bad page
     return pages.select(
         F.col(url_col).alias("url"),
         F.explode(
-            outlinks_col(F.decode(F.col(html_col), "UTF-8"))
+            outlinks_col(F.col(html_col).cast("string"))
         ).alias("outlink"),
     )
 
 
 # anchor extraction: href + inner text captured by ONE pattern; two
 # regexp_extract_all calls with different group indexes stay aligned
-# because the match set is identical (RE2-safe, shared with the oracle).
+# because the match set is identical (RE2-safe).
 ANCHOR_PAT = r"""<a\s[^>]*href\s*=\s*["']([^"']+)["'][^>]*>([^<]*)</a>"""
 
 
@@ -79,7 +84,7 @@ def extract_anchors(
     anchors with markup inside the element are skipped by the conservative
     ``[^<]*`` body (documented precision-over-recall stance: at corpus
     scale the lost anchors are the markup-heavy minority)."""
-    html = F.decode(F.col(html_col), "UTF-8")
+    html = F.col(html_col).cast("string")  # lenient, see extract_outlinks
     hrefs = F.regexp_extract_all(html, F.lit(ANCHOR_PAT), 1)
     texts = F.regexp_extract_all(html, F.lit(ANCHOR_PAT), 2)
     return pages.select(

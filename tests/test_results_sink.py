@@ -146,3 +146,40 @@ def test_cli_salted_rollup_matches_plain(spark, tmp_path, capsys):
     assert main([path, "--salt-buckets", "8"]) == 0
     salted = capsys.readouterr().out
     assert salted == plain
+
+
+def test_cli_pagerank_and_noindex_modes(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from linguistjs_spark.cli import main
+    from linguistjs_spark.sources.pages import pages_df
+
+    path = str(tmp_path / "pages_linked")
+    # every page links to hub.example; a third also link to popular.example
+    pages_df(spark, n_bulk=40).withColumn(
+        "html",
+        F.concat(
+            F.coalesce(F.col("html"), F.lit(b"")),
+            F.encode(
+                F.concat(
+                    F.lit('<a href="https://hub.example/x">h</a>'),
+                    F.when(
+                        F.xxhash64("url") % 3 == 0,
+                        F.lit('<a href="https://popular.example/y">p</a>'),
+                    ).otherwise(F.lit("")),
+                ),
+                "UTF-8",
+            ),
+        ),
+    ).write.mode("overwrite").parquet(path)
+
+    rc = main([path, "--pagerank", "--pagerank-top", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert lines[1].split()[0] == "hub.example"  # top-ranked domain
+
+    # --drop-noindex composes with the normal analysis path
+    rc = main([path, "--drop-noindex", "--min-size", "1b"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip()
