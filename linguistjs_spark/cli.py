@@ -8,6 +8,7 @@ Usage (also the spark-submit main, north rule 'spark-submit --py-files'):
         [--min-size 100b|1kb|5%|10loc] [--categories programming,markup]
         [--quick] [--child-languages] [--output DIR] [--buckets N]
         [--gopher-funnel [--funnel-min-words N]] [--drop-noindex]
+        [--pagerank [--pagerank-iters N] [--pagerank-top K]]
 """
 
 from __future__ import annotations
