@@ -462,16 +462,14 @@ def main() -> None:
             ).count(),
         )
 
-        # round-4 op: iterative link-graph machinery at scale — 2M-edge
-        # synthetic domain graph (100k nodes, Zipf-ish in-degree via a
-        # squared hash), 3 weighted PageRank iterations. Measures the
-        # per-iteration keyed join + groupBy shape, not the fixture-sized
-        # driver query.
+        # round-4 op: iterative link-graph machinery at scale — synthetic
+        # domain graph (Zipf-ish in-degree via a squared hash), weighted
+        # PageRank iterations. Measures the per-iteration keyed join +
+        # groupBy shape, not the fixture-sized driver query.
         from linguistjs_spark.operators import link_graph as LGR
 
-        def _pagerank_job():
-            n_dom = 100_000
-            e = spark.range(2_000_000).select(
+        def _synthetic_edges(n_edges: int, n_dom: int):
+            e = spark.range(n_edges).select(
                 F.concat(F.lit("d"), (F.col("id") % n_dom).cast("string"))
                 .alias("src"),
                 F.concat(
@@ -484,13 +482,137 @@ def main() -> None:
                 ).alias("dst"),
                 F.lit(1).cast("long").alias("w"),
             ).filter(F.col("src") != F.col("dst"))
-            edges = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
-            return LGR.domain_pagerank(edges, iters=3).count()
+            return e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+        def _pagerank_job(n_edges: int, n_dom: int, iters: int):
+            return LGR.domain_pagerank(
+                _synthetic_edges(n_edges, n_dom), iters=iters
+            ).count()
 
         run_leg(
             "pagerank_2m", queries, queries_host,
-            lambda: lambda: _pagerank_job(),
+            lambda: lambda: _pagerank_job(2_000_000, 100_000, 3),
         )
+
+        # VERDICT r04 item 6: at 2M edges the leg measures the scheduling
+        # floor, not the shuffle machinery. The 20M-edge pair below makes
+        # iteration time the dominant term AND isolates it: i1 and i3 share
+        # generation + dedup-groupBy + normalization + final count, so
+        # per-iteration wall = (t_i3 - t_i1) / 2 with every fixed cost
+        # differenced out; setup = t_i3 - 3*per_iter. Both derived values
+        # land in the detail record as pagerank_20m_split.
+        PR_EDGES = int(os.environ.get("SPARK_GRAFT_PR_EDGES", "20000000"))
+        run_leg(
+            "pagerank_20m_i1", queries, queries_host,
+            lambda: lambda: _pagerank_job(PR_EDGES, 400_000, 1),
+        )
+        run_leg(
+            "pagerank_20m_i3", queries, queries_host,
+            lambda: lambda: _pagerank_job(PR_EDGES, 400_000, 3),
+        )
+
+        # VERDICT r04 item 6 (second half): the resumable variant through a
+        # crash-injection cycle once — crash after 2 committed iterations,
+        # then resume (skips 1-2, runs 3). Timed leg = the RESUME, the
+        # wall a restarted 100-TB job actually pays. One cycle, not
+        # min-of-N: each run writes per-iteration rank tables.
+        import shutil
+        import tempfile as _tf
+
+        pr_dir = _tf.mkdtemp(prefix="bench_pr_resume_")
+        from linguistjs_spark.streaming.resume import resumable_pagerank
+
+        pr_edges_small = _synthetic_edges(2_000_000, 100_000)
+        t_crash0 = time.perf_counter()
+        try:
+            resumable_pagerank(
+                spark, pr_edges_small, pr_dir, iters=3, fail_after=2
+            )
+        except RuntimeError:
+            pass  # injected
+        t_crash = time.perf_counter() - t_crash0
+        t_res, res = timed(
+            lambda: resumable_pagerank(spark, pr_edges_small, pr_dir, iters=3)
+        )
+        queries["pagerank_resume"] = round(t_res, 3)
+        queries_host["pagerank_resume"] = {
+            **LAST_LEG_HOST,
+            "runs": [round(t_res, 3)],
+            "crash_leg_wall": round(t_crash, 3),
+            "resumed_processed": res["processed"],
+            "resumed_skipped": res["skipped"],
+        }
+        shutil.rmtree(pr_dir, ignore_errors=True)
+
+        # VERDICT r04 item 4: chunked-ingest throughput. Setup (untimed)
+        # writes gzip-per-member segment files executor-side; the timed leg
+        # is warc_chunks (driver-side ranged planning) +
+        # pages_from_warc_chunks (bounded-memory member sync + parse) over
+        # every file, chunk_bytes=1 MiB so many tasks start mid-member.
+        import glob as _glob
+
+        from linguistjs_spark.sources import warc as WARC
+
+        warc_dir = _tf.mkdtemp(prefix="bench_warc_chunks_")
+
+        def _write_segments():
+            import datetime as _dt
+
+            import pandas as _pd
+
+            t0 = _dt.datetime(2026, 1, 1)
+
+            def write_part(batches):
+                import os as _os
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    pages_l = [
+                        (
+                            f"https://{r.source}.example/doc/{r.doc_id}",
+                            t0,
+                            (r.text or "").encode("utf-8"),
+                        )
+                        for r in pdf.itertuples()
+                    ]
+                    seg = WARC.build_warc_segment(pages_l, gzip_members=True)
+                    name = f"seg-{pdf['doc_id'].iloc[0]}.warc.gz"
+                    with open(_os.path.join(warc_dir, name), "wb") as fh:
+                        fh.write(seg)
+                    yield _pd.DataFrame({"n": [len(pages_l)]})
+
+            (
+                fresh_docs().select("doc_id", "source", "text")
+                .repartition(8, F.col("doc_id"))
+                .mapInPandas(write_part, schema="n long")
+                .agg(F.sum("n")).collect()
+            )
+
+        _write_segments()
+        warc_paths = sorted(_glob.glob(f"{warc_dir}/*.warc.gz"))
+        warc_bytes = sum(os.path.getsize(p) for p in warc_paths)
+
+        def _chunked_ingest():
+            chunks = WARC.warc_chunks(spark, warc_paths, chunk_bytes=1 << 20)
+            return WARC.pages_from_warc_chunks(chunks).agg(
+                F.count("*"), F.sum(F.octet_length("html"))
+            ).collect()[0][0]
+
+        n_warc_docs = run_leg(
+            "warc_chunked_ingest", queries, queries_host,
+            lambda: lambda: _chunked_ingest(),
+        )
+        queries_host["warc_chunked_ingest"].update(
+            {
+                "n_records": n_warc_docs,
+                "segment_bytes": warc_bytes,
+                "mb_per_sec": round(
+                    warc_bytes / (1 << 20) / queries["warc_chunked_ingest"], 1
+                ),
+            }
+        )
+        shutil.rmtree(warc_dir, ignore_errors=True)
 
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
@@ -655,8 +777,36 @@ def main() -> None:
             "host_hi": host_by_cores.get(CPUS, {}),
         }
 
+    # VERDICT r04 item 6: isolate PageRank iteration time from fixed costs.
+    # i1 and i3 share generation/dedup/normalization/count, so the
+    # difference over two extra iterations is pure per-iteration shuffle.
+    pagerank_split = None
+    if "pagerank_20m_i1" in queries and "pagerank_20m_i3" in queries:
+        per_iter = (queries["pagerank_20m_i3"]
+                    - queries["pagerank_20m_i1"]) / 2.0
+        pagerank_split = {
+            "edges": PR_EDGES,
+            "per_iter_sec": round(per_iter, 3),
+            "setup_sec": round(queries["pagerank_20m_i3"] - 3 * per_iter, 3),
+            "iter_share_of_i3": round(
+                3 * per_iter / queries["pagerank_20m_i3"], 3),
+        }
+
+    # VERDICT r04 item 9: capability probe — visible, not silent. The
+    # facade (sources/tables.py) falls back to parquet when the runtime jar
+    # is absent; the record says which path this host actually exercised.
+    try:
+        from linguistjs_spark.sources.tables import iceberg_available
+        _probe_spark = make_spark(2)
+        try:
+            ice = bool(iceberg_available(_probe_spark))
+        finally:
+            _probe_spark.stop()
+    except Exception:
+        ice = False
+
     total = round(sum(queries.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
@@ -675,10 +825,60 @@ def main() -> None:
         "pipeline_host": pipe_host,
         "scaling": scaling,
         "scaling_pairs": [pair_stats(n) for n in pair_ns],
+        "iceberg_available": ice,
     }
     if mono is not None:
-        out["monotonic_hi"] = mono
-    print(json.dumps(out))
+        detail["monotonic_hi"] = mono
+    if pagerank_split is not None:
+        detail["pagerank_20m_split"] = pagerank_split
+
+    # VERDICT r04 item 1: the round driver records only the LAST ~2000
+    # chars of stdout and parses a JSON line out of that tail. r04's
+    # single line (67 queries x runs arrays x telemetry) outgrew it and
+    # the official perf record came back `parsed: null`. So: full detail
+    # goes to a FILE, and stdout's final line is a compact headline —
+    # per-query min wall + scaling efficiencies only — guaranteed to fit.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh)
+        fh.write("\n")
+
+    headline = {
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "cores": CPUS,
+        "queries": queries,
+        "sf": SF_DIR,
+        "n_docs_pipeline": n_docs,
+        "docs_per_sec": detail["docs_per_sec"],
+        "scaling_eff": {
+            f"{p['cores_n']}->{p['cores_4n']}": p["efficiency"]
+            for p in detail["scaling_pairs"]
+        },
+        "iceberg_available": ice,
+        "detail_file": detail_path,
+    }
+    if mono is not None:
+        headline["speedup_16_to_32"] = mono["speedup_hi_over_lo"]
+    if pagerank_split is not None:
+        headline["pagerank_per_iter_sec"] = pagerank_split["per_iter_sec"]
+    line = json.dumps(headline)
+    if len(line) > 1900:
+        # hard guarantee: never outgrow the driver tail again — shed the
+        # per-query map last-resort (detail file still has everything)
+        headline["queries"] = {
+            k: queries[k]
+            for k in ("pipeline_rollup", "cascade_only", "quality_funnel")
+            if k in queries
+        }
+        headline["queries_truncated_see_detail"] = True
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=0,
                     help="resumable per-bucket run with lineage (0 = one shot)")
     ap.add_argument("--cores", default="*")
+    ap.add_argument("--warc-chunk-bytes", type=int, default=64 << 20,
+                    metavar="N",
+                    help="ranged-read chunk size for --warc ingest "
+                         "(default 64 MiB); 0 = legacy whole-segment rows")
     ap.add_argument("--warc", action="store_true",
                     help="input is a directory of .warc/.warc.gz segment "
                          "files (Common Crawl layout) instead of a pages "
@@ -131,19 +135,39 @@ def main(argv: list[str] | None = None) -> int:
     )
     try:
         if args.warc:
-            # CC segment layout: one binary blob per .warc/.warc.gz file;
-            # binaryFile partitions by file, pages_from_warc fans records
-            # out executor-side (WARC rows carry html only — the implied
-            # extract_html stage produces the text column downstream)
-            from .sources.warc import pages_from_warc
+            # CC segment layout. Default ingest is the CHUNKED reader
+            # (VERDICT r04 item 4): ranged byte-window tasks bound per-task
+            # memory by --warc-chunk-bytes + one record, independent of
+            # segment size — a whole-segment row (~1 GiB) per task was the
+            # documented 100-TB hazard. Remote URIs (s3://, hdfs://) and
+            # --warc-chunk-bytes 0 fall back to the whole-segment
+            # binaryFile path, which any Hadoop FS can serve. (WARC rows
+            # carry html only — the implied extract_html stage produces
+            # the text column downstream.)
+            local = "://" not in args.input or args.input.startswith("file:")
+            if local and args.warc_chunk_bytes > 0:
+                from .sources.warc import (
+                    pages_from_warc_chunks,
+                    warc_chunks_for_dir,
+                )
 
-            segments = (
-                spark.read.format("binaryFile")
-                .option("pathGlobFilter", "*.warc*")
-                .load(args.input)
-                .select("content")
-            )
-            pages = pages_from_warc(spark, segments, data_col="content")
+                in_dir = args.input
+                if in_dir.startswith("file:"):
+                    in_dir = in_dir[len("file:"):]
+                chunks = warc_chunks_for_dir(
+                    spark, in_dir, chunk_bytes=args.warc_chunk_bytes
+                )
+                pages = pages_from_warc_chunks(chunks)
+            else:
+                from .sources.warc import pages_from_warc
+
+                segments = (
+                    spark.read.format("binaryFile")
+                    .option("pathGlobFilter", "*.warc*")
+                    .load(args.input)
+                    .select("content")
+                )
+                pages = pages_from_warc(spark, segments, data_col="content")
         else:
             pages = spark.read.parquet(args.input)
         missing = [c for c in ("url", "text") if c not in pages.columns]

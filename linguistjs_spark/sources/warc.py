@@ -337,6 +337,49 @@ def warc_chunks(spark, paths: list[str], chunk_bytes: int = 64 << 20):
     )
 
 
+def warc_chunks_for_dir(spark, input_dir: str, chunk_bytes: int = 64 << 20):
+    """Chunk listing for a DIRECTORY of ``*.warc[.gz]`` segments — the CLI
+    ingest planner (VERDICT r04 item 4: whole-segment rows were the
+    documented 100-TB memory hazard; ranged chunks are now the default).
+
+    Per file: if it is larger than ``chunk_bytes`` AND starts with a
+    validated gzip member (the CC gzip-per-member convention → splittable),
+    it is split into ranged chunks; otherwise it becomes ONE whole-file
+    chunk, which ``pages_rows_from_chunk`` parses via the plain-segment
+    fallback. The splittability probe reads ≤1 slab from the head of each
+    oversized file — the same codec-level check a FileSourceScan's
+    isSplittable consult does, just by content instead of by extension.
+    Local/POSIX filesystems only (ranged ``open()``); remote URIs should
+    use ``pages_from_warc`` over binaryFile."""
+    import glob as _glob
+    import os as _os
+
+    paths = sorted(
+        p
+        for pat in ("*.warc", "*.warc.gz")
+        for p in _glob.glob(_os.path.join(input_dir, pat))
+    )
+    if not paths:
+        raise FileNotFoundError(f"no *.warc/*.warc.gz files in {input_dir}")
+    rows = []
+    for p in paths:
+        size = _os.path.getsize(p)
+        splittable = False
+        if size > chunk_bytes > 0:
+            with open(p, "rb") as f:
+                splittable = _is_member_at(f, 0)
+        if splittable:
+            s = 0
+            while s < size:
+                rows.append((p, s, min(chunk_bytes, size - s), size))
+                s += chunk_bytes
+        else:
+            rows.append((p, 0, max(size, 1), size))
+    return spark.createDataFrame(
+        rows, "path string, start long, length long, file_size long"
+    )
+
+
 def pages_from_warc_chunks(chunks):
     """Chunk listing -> pages DataFrame. One mapInPandas over chunk rows;
     each task ranged-reads its byte window (plus the tail of the record

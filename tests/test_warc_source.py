@@ -342,3 +342,88 @@ def test_chunked_spark_end_to_end_matches_blob_reader(tmp_path, spark):
 
     assert key(via_chunks) == key(via_blob)
     assert len(via_chunks) == 47
+
+
+# --- VERDICT r04 item 4: the chunked reader is now the CLI's DEFAULT
+# --warc ingest path (warc_chunks_for_dir planner + ranged tasks) ---
+
+
+def test_warc_chunks_for_dir_planner(tmp_path, spark):
+    """Planner policy: oversized gzip-per-member files split at
+    chunk_bytes; oversized plain files (unsplittable) and small files get
+    ONE whole-file chunk; every record still parses exactly once."""
+    from linguistjs_spark.sources.warc import (
+        pages_from_warc_chunks,
+        warc_chunks_for_dir,
+    )
+
+    big_pages = _many_pages(30)
+    small_pages = _many_pages(3)
+    plain_pages = _many_pages(7)
+    _write_segment(tmp_path, big_pages, name="big.warc.gz")
+    _write_segment(tmp_path, small_pages, name="small.warc.gz")
+    _write_segment(tmp_path, plain_pages, name="plain.warc", gz=False)
+    (tmp_path / "notes.txt").write_text("ignored")  # non-warc file skipped
+
+    chunks = warc_chunks_for_dir(spark, str(tmp_path), chunk_bytes=512)
+    per_file = {
+        r["path"].rsplit("/", 1)[-1]: r["n"]
+        for r in chunks.groupBy("path").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_file["big.warc.gz"] > 1          # split: ranged chunks
+    assert per_file["small.warc.gz"] >= 1
+    assert per_file["plain.warc"] == 1          # unsplittable: whole file
+    assert "notes.txt" not in per_file
+
+    got = pages_from_warc_chunks(chunks).collect()
+    want = {u for u, _, _ in big_pages + small_pages + plain_pages}
+    assert {r.url for r in got} == want
+    assert len(got) == len(big_pages) + len(small_pages) + len(plain_pages)
+
+
+def test_warc_chunks_for_dir_empty_dir_raises(tmp_path, spark):
+    import pytest as _pytest
+
+    from linguistjs_spark.sources.warc import warc_chunks_for_dir
+
+    with _pytest.raises(FileNotFoundError):
+        warc_chunks_for_dir(spark, str(tmp_path))
+
+
+def test_cli_warc_chunked_default_matches_legacy(tmp_path, spark):
+    """--warc default (chunked, tiny chunk size so tasks start mid-member)
+    prints the same rollup as --warc-chunk-bytes 0 (legacy whole-segment
+    binaryFile path)."""
+    import contextlib
+    import io
+
+    from linguistjs_spark.cli import main
+
+    d = tmp_path / "segments"
+    d.mkdir()
+    py = ("# this module computes several useful values for the demo\n"
+          + "".join(f"value_{i} = {i} * 3 + 1  # result number {i}\n"
+                    for i in range(40))).encode()
+    js = ("// frontend application entry point with assorted variables\n"
+          + "".join(f"var item{i} = {i} + 7; // element number {i}\n"
+                    for i in range(40))).encode()
+    seg = build_warc_segment(
+        [("https://a.example/hello.py", T0, py),
+         ("https://b.example/app.js", T0, js)]
+        + [(u, t, b) for u, t, b in _many_pages(20)],
+        gzip_members=True,
+    )
+    (d / "part-0.warc.gz").write_bytes(seg)
+
+    def run(extra):
+        out = io.StringIO()
+        with contextlib.redirect_stdout(out):
+            rc = main([str(d), "--warc"] + extra)
+        assert rc == 0
+        return out.getvalue()
+
+    chunked = run(["--warc-chunk-bytes", "256"])
+    legacy = run(["--warc-chunk-bytes", "0"])
+    assert chunked == legacy
+    assert "Python" in chunked and "JavaScript" in chunked
