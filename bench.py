@@ -369,6 +369,99 @@ def main() -> None:
                 F.sum("n_tokens"), F.sum("n_bpe_tokens")).collect(),
         )
 
+        # VERDICT r04 item 5 A/B: the batch-vectorized perplexity kernel
+        # (one table gather + reduceat segment-sum per Arrow batch) vs the
+        # r4-shipped row kernel (Series.map, per-doc gather + np.mean).
+        # Same input (replicated pages text), same table, same answer.
+        from linguistjs_spark.perplexity import (
+            _logp as _ppl_logp,
+            perplexity_batch_with_table as _ppl_batch,
+        )
+
+        _ppl_table = _ppl_logp()
+
+        def _ppl_job(batch_mode: bool):
+            import numpy as _np
+            import pandas as _pd
+
+            tbl = _ppl_table
+
+            if batch_mode:
+                @F.pandas_udf("double")
+                def score(s: _pd.Series) -> _pd.Series:
+                    return _ppl_batch(tbl, s)
+            else:
+                def _r4_kernel(t):
+                    if not t:
+                        return 0.0
+                    b = _np.frombuffer(
+                        t.lower().encode("utf-8"), dtype=_np.uint8)
+                    if b.size < 2:
+                        return 0.0
+                    return float(2.0 ** (-tbl[b[:-1], b[1:]].mean()))
+
+                @F.pandas_udf("double")
+                def score(s: _pd.Series) -> _pd.Series:
+                    return s.map(_r4_kernel)
+
+            pages_p = bench_pages(spark, SF_DIR, REPLICATE)
+            return (
+                pages_p.select(score(F.col("text")).alias("p"))
+                .agg(F.sum("p"), F.count("*")).collect()
+            )
+
+        run_leg(
+            "ppl_batch", queries, queries_host,
+            lambda: lambda: _ppl_job(True),
+        )
+        run_leg(
+            "ppl_rowwise_r4", queries, queries_host,
+            lambda: lambda: _ppl_job(False),
+        )
+
+        # Kernel-isolated A/B (same record): the Spark legs above are
+        # Arrow-TRANSFER-bound at web-page text sizes (~2 KB/doc), so
+        # their walls converge regardless of kernel; this times the two
+        # kernels alone, single-threaded, on the identical doc sample —
+        # the number the vectorization actually moves.
+        import pandas as _pd2
+
+        _sample = [
+            r[0] for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("text").limit(20000).collect()
+        ]
+        _sser = _pd2.Series(_sample, dtype=object)
+
+        def _kab(fn):
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(_sser)
+                walls.append(time.perf_counter() - t0)
+            return min(walls)
+
+        import numpy as _np2
+
+        def _r4_map(s):
+            def k(t):
+                if not t:
+                    return 0.0
+                b = _np2.frombuffer(
+                    t.lower().encode("utf-8"), dtype=_np2.uint8)
+                if b.size < 2:
+                    return 0.0
+                return float(2.0 ** (-_ppl_table[b[:-1], b[1:]].mean()))
+            return s.map(k)
+
+        _t_batch = _kab(lambda s: _ppl_batch(_ppl_table, s))
+        _t_row = _kab(_r4_map)
+        queries_host["ppl_batch"]["kernel_ab"] = {
+            "n_docs": len(_sample),
+            "batch_docs_per_sec": round(len(_sample) / _t_batch, 1),
+            "rowwise_r4_docs_per_sec": round(len(_sample) / _t_row, 1),
+            "kernel_speedup": round(_t_row / _t_batch, 2),
+        }
+
         run_leg(
             "exact_dedup", queries, queries_host,
             lambda: lambda: DD.exact_dedup(fresh_docs()).count(),

@@ -168,3 +168,78 @@ def test_ccnet_buckets_plan_scale_path_has_no_sort(spark):
     exact_plan = formatted_plan(ccnet_ppl_buckets(scored, exact=True))
     assert "BroadcastHashJoin" in scale_plan and "Window" not in scale_plan
     assert "Window" in exact_plan
+
+
+# --- VERDICT r04 item 5: batch-vectorized scoring kernel ---
+
+
+def test_batch_kernel_float_exact_vs_row_twin():
+    """perplexity_batch_with_table must be FLOAT-EXACT vs the row twin
+    (the fitted_perplexity oracle builds literal VALUES from the twin):
+    same gather values at the same length => identical pairwise-summation
+    rounding. Covers None/empty/1-char/short/long/non-ASCII/mixed."""
+    import numpy as np
+    import pandas as pd
+
+    from linguistjs_spark.perplexity import (
+        fit_char_bigram_table_local,
+        perplexity_batch_with_table,
+        perplexity_with_table,
+    )
+
+    table = fit_char_bigram_table_local(
+        ["the quick brown fox jumps over the lazy dog " * 20,
+         "ordinary english sentences with normal words"])
+    texts = [
+        None, "", "x", "ab",
+        "the streets along the river are quiet tonight",
+        "xq zvk jjw qqp zzx mmv kkq wwz",
+        "Ünïcödé — ß and 日本語のテキスト mixed in",
+        "word " * 5000,          # long doc: pairwise-summation regime
+        "\x00\x01\x02 binary-ish \xff",
+        "The Quick BROWN Fox",   # lower() path
+    ]
+    got = perplexity_batch_with_table(table, pd.Series(texts, dtype=object))
+    want = [perplexity_with_table(table, t) for t in texts]
+    assert list(got) == want  # exact equality, no tolerance
+
+    # empty batch and all-empty batch
+    assert list(perplexity_batch_with_table(table, pd.Series([], dtype=object))) == []
+    assert list(perplexity_batch_with_table(
+        table, pd.Series([None, "", "y"], dtype=object))) == [0.0, 0.0, 0.0]
+
+
+def test_batch_kernel_builtin_table_matches_perplexity():
+    import pandas as pd
+
+    from linguistjs_spark.perplexity import (
+        _logp,
+        perplexity,
+        perplexity_batch_with_table,
+    )
+
+    texts = ["a readable english sentence", "zzqqxx", None, "word " * 999]
+    got = perplexity_batch_with_table(_logp(), pd.Series(texts, dtype=object))
+    assert list(got) == [perplexity(t) for t in texts]
+
+
+def test_batch_kernel_fuzz_exact():
+    """Randomized doc mixes (empty/None/1-byte/short/long at random
+    positions, including leading/trailing empties) stay float-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from linguistjs_spark.perplexity import (
+        _logp,
+        perplexity,
+        perplexity_batch_with_table,
+    )
+
+    rng = np.random.default_rng(7)
+    pool = ["", None, "x", "ab", "the word", "zz", "word " * 50,
+            "\xff\x00", "mixed Ünïcöde 日本語"]
+    for _ in range(30):
+        texts = [pool[i] for i in rng.integers(0, len(pool), size=25)]
+        got = perplexity_batch_with_table(
+            _logp(), pd.Series(texts, dtype=object))
+        assert list(got) == [perplexity(t) for t in texts]
