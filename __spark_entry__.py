@@ -436,7 +436,11 @@ _HEUR_CASES = [
     (".dsp", '# Microsoft Developer Studio Project File - Name="demo"\n',
      "Microsoft Developer Studio Project"),
     (".i", "%module demo\n%{\n#include <demo.h>\n%}\n", "SWIG"),
-    (".i", "\tmoveq\t#1,d0\n\trts\n", "Assembly"),
+    # batch 18 flipped this pin: upstream's .i group leads with the m68k
+    # named pattern, so moveq content is Motorola 68K Assembly (the old
+    # Assembly pin was pinning the branch's absence)
+    (".i", "\tmoveq\t#1,d0\n\trts\n", "Motorola 68K Assembly"),
+    (".i", "section .text\nglobal _start\n", "Assembly"),
     (".star", "data_demo\nloop_\n_atom_site.id\n1 2 3\n", "STAR"),
     (".star", 'load("@rules_cc//cc:defs.bzl", "cc_library")\n', "Starlark"),
     (".cl", "(defun hello (x)\n  (print x))", "Common Lisp"),
@@ -612,6 +616,22 @@ _HEUR_CASES = [
     (".pm", "/* XPM */\nstatic char *icon[] = {\n", "X PixMap"),
     (".gs", "#version 330 core\nlayout(points) in;\nvoid main() {}\n",
      "GLSL"),
+    # batch 18 (widen_heuristics18.py): upstream rule-shape parity —
+    # pattern-less fallbacks (.ls/.pluginspec/.gml no-op vs C9, .yy is a
+    # real delta: non-JSON content -> Yacc) and the .i m68k lead rule
+    (".ls", "package demo.app {\n    public class App {}\n}\n",
+     "LoomScript"),
+    (".ls", "square = (x) -> x * x\nconsole.log square 4\n", "LiveScript"),
+    (".pluginspec", '<?xml version="1.0"?>\n<plugin id="demo"/>\n', "XML"),
+    (".pluginspec",
+     'Gem::Specification.new do |s|\n  s.name = "demo"\nend\n', "Ruby"),
+    (".yy", '{\n  "id": "u1",\n  "resourceType": "GMObject"\n}\n', "JSON"),
+    (".yy", "%token NUM\n%%\nexpr: NUM;\n%%\n", "Yacc"),
+    (".gml", '<?xml version="1.0"?>\n<gml:FeatureCollection/>\n', "XML"),
+    (".gml", "graph [\n  node [\n    id 1\n  ]\n]\n",
+     "Graph Modeling Language"),
+    (".gml", "var hp = 100;\nif (hp <= 0) instance_destroy();\n",
+     "Game Maker Language"),
 ]
 
 
