@@ -388,7 +388,7 @@ def main() -> None:
 
             if batch_mode:
                 @F.pandas_udf("double")
-                def score(s: _pd.Series) -> _pd.Series:
+                def score(s):
                     return _ppl_batch(tbl, s)
             else:
                 def _r4_kernel(t):
@@ -401,7 +401,7 @@ def main() -> None:
                     return float(2.0 ** (-tbl[b[:-1], b[1:]].mean()))
 
                 @F.pandas_udf("double")
-                def score(s: _pd.Series) -> _pd.Series:
+                def score(s):
                     return s.map(_r4_kernel)
 
             pages_p = bench_pages(spark, SF_DIR, REPLICATE)
