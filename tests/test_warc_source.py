@@ -427,3 +427,44 @@ def test_cli_warc_chunked_default_matches_legacy(tmp_path, spark):
     legacy = run(["--warc-chunk-bytes", "0"])
     assert chunked == legacy
     assert "Python" in chunked and "JavaScript" in chunked
+
+
+def test_chunked_randomized_equivalence_fuzz(tmp_path):
+    """Randomized composition fuzz: arbitrary page mixes (empty/huge/
+    unicode bodies), arbitrary chunk sizes — the chunked reader yields
+    exactly the blob parser's records, every time."""
+    import random
+
+    from linguistjs_spark.sources.warc import (
+        pages_rows_from_chunk,
+        pages_rows_from_segment,
+    )
+
+    rng = random.Random(42)
+    for trial in range(15):
+        n = rng.randint(1, 25)
+        pages = []
+        for i in range(n):
+            kind = rng.randrange(4)
+            if kind == 0:
+                body = b""
+            elif kind == 1:
+                body = bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 50)))
+            elif kind == 2:
+                body = ("unicode Ünïcödé 日本語 " * rng.randint(1, 40)).encode()
+            else:
+                body = b"x" * rng.randint(3000, 20000)
+            pages.append(
+                (f"https://t{trial}.example/p{i}", T0.replace(minute=i % 60), body)
+            )
+        raw = build_warc_segment(pages, gzip_members=True)
+        p = tmp_path / f"fz{trial}.warc.gz"
+        p.write_bytes(raw)
+        want = [(r[0], r[1], r[2]) for r in pages_rows_from_segment(raw)]
+        chunk = rng.choice([37, 256, 1024, 1 << 20])
+        got = [
+            (r[0], r[1], r[2])
+            for (pp, s, ln, fs) in _chunk_rows(str(p), chunk)
+            for r in pages_rows_from_chunk(pp, s, ln, fs)
+        ]
+        assert got == want, f"trial {trial} chunk {chunk}"
