@@ -888,6 +888,92 @@ def main() -> None:
                 probe["multiproc_eff_8_to_16"] = round(
                     t_by_cores[8] / mean_conc, 3)
 
+    # ---- multi-EXECUTOR scaling (north rule, executor-process form) ----
+    # The north rule's criterion is "N and 4N EXECUTORS". The pair legs
+    # above emulate that with thread counts inside ONE JVM — which the
+    # probe shows is the pessimistic arrangement on this host (a single
+    # 16-thread process gets less aggregate bandwidth than two 8-thread
+    # processes). This section runs the real arrangement: ONE local[4]
+    # executor-process over 640k docs vs FOUR concurrent local[4]
+    # executor-processes over 160k docs each (same total work, same
+    # per-process shape, disjoint inputs). T_4N = max child wall;
+    # efficiency = T_N / (4 * T_4N). Solo leg reuses t_by_cores[4]
+    # (same make_spark config the children use).
+    multiexec = []
+    if (os.environ.get("SPARK_GRAFT_MULTIEXEC", "1") == "1"
+            and SCALE_REPLICATE >= 4):
+        import subprocess
+
+        child_rep = SCALE_REPLICATE // 4
+
+        def _mx_run(exec_cores: int):
+            # each child = one executor-process: own JVM/GC/python-worker
+            # pool, disjoint quarter of the input; min-of-2 per child (the
+            # first run pays plan-shape codegen + worker spawn, same as
+            # every other leg)
+            mx_child = (
+                "import os,sys,json,time\n"
+                "sys.path.insert(0, "
+                f"{os.path.dirname(os.path.abspath(__file__))!r})\n"
+                "import bench\n"
+                f"s = bench.make_spark({exec_cores})\n"
+                "try:\n"
+                f"    bench.warmup(s, {exec_cores})\n"
+                "    t1, n = bench.timed(bench.run_pipeline_job,"
+                f" s, bench.SF_DIR, {child_rep})\n"
+                "    t2, _ = bench.timed(bench.run_pipeline_job,"
+                f" s, bench.SF_DIR, {child_rep})\n"
+                "    print(json.dumps({'wall': min(t1, t2),"
+                " 'walls': [t1, t2], 'n': n,"
+                " 'host': dict(bench.LAST_LEG_HOST)}))\n"
+                "finally:\n"
+                "    s.stop()\n"
+            )
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, "-c", mx_child],
+                    stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                    text=True,
+                )
+                for _ in range(4)
+            ]
+            outs = []
+            for p in procs:
+                stdout, _ = p.communicate()
+                for line in stdout.splitlines():
+                    try:
+                        outs.append(json.loads(line))
+                    except ValueError:
+                        pass
+            if len(outs) != 4 or exec_cores not in t_by_cores:
+                return None
+            t_4n_mx = max(o["wall"] for o in outs)
+            n_total = sum(o["n"] for o in outs)
+            return {
+                "cores_per_executor": exec_cores,
+                "executors_n": 1,
+                "executors_4n": 4,
+                "n_docs": n_total,
+                "wall_sec_1exec": round(t_by_cores[exec_cores], 3),
+                "child_walls_4exec": [round(o["wall"], 3) for o in outs],
+                "child_hosts": [o["host"] for o in outs],
+                "wall_sec_4exec": round(t_4n_mx, 3),
+                "docs_per_sec_1exec": round(
+                    n_total / t_by_cores[exec_cores], 1),
+                "docs_per_sec_4exec": round(n_total / t_4n_mx, 1),
+                "efficiency": round(
+                    t_by_cores[exec_cores] / (4 * t_4n_mx), 3),
+            }
+
+        # two arrangements: 1 vs 4 executors of local[2] (8 busy cores at
+        # 4N — inside the host's bandwidth headroom, the clean read) and
+        # of local[4] (16 busy cores at 4N — rides the same host ceiling
+        # the probe documents for any 16-core arrangement)
+        for ec in (2, 4):
+            r = _mx_run(ec)
+            if r is not None:
+                multiexec.append(r)
+
     def pair_stats(n: int) -> dict:
         t_n, t_4n, h_n, h_4n, retried = pair_runs[n]
         out = {
@@ -978,6 +1064,8 @@ def main() -> None:
         detail["monotonic_hi"] = mono
     if pagerank_split is not None:
         detail["pagerank_20m_split"] = pagerank_split
+    if multiexec:
+        detail["multiexec_scaling"] = multiexec
 
     # VERDICT r04 item 1: the round driver records only the LAST ~2000
     # chars of stdout and parses a JSON line out of that tail. r04's
@@ -1020,6 +1108,13 @@ def main() -> None:
         # show single-JVM droop past ~8 cores is the host ceiling, not
         # the engine (full probe in the detail file)
         headline["multiproc_eff_8_to_16"] = probe["multiproc_eff_8_to_16"]
+    if multiexec:
+        # the north rule's own arrangement: 1 vs 4 executor PROCESSES
+        # (local[N] each), disjoint quarters of the same input
+        headline["multiexec_eff_1_to_4"] = {
+            f"local[{m['cores_per_executor']}]": m["efficiency"]
+            for m in multiexec
+        }
     line = json.dumps(headline)
     if len(line) > 1900:
         # hard guarantee: never outgrow the driver tail again — shed the
