@@ -1671,6 +1671,81 @@ def q_noindex_filter(spark, sf_dir):
     )
 
 
+# robots.txt fixture: one body per domain, exercising every parser branch —
+# non-star groups (ignored), multi-UA runs sharing a group, blank/comment
+# lines inside a run, empty Disallow (allow-all), trailing comments, CRLF,
+# spacing/case variants, directives as group terminators, orphan rules
+# before any UA line, and a rule-less star group. Texts are literal in BOTH
+# engines; the PARSE is what the hash check cross-pins (Spark native fold
+# vs the DuckDB window state machine — operators/robots.py docstring).
+_ROBOTS_FIXTURE = [
+    ("https://src1.example/robots.txt",
+     "User-agent: googlebot\nDisallow: /private\n\nUser-agent: *\n"
+     "Disallow: /p/1\nAllow: /ok\nDisallow: /p/2\nUser-agent: bing\n"
+     "Disallow: /p/30"),
+    ("https://src2.example/robots.txt",
+     "User-agent: a\r\nUser-agent: *\r\nDisallow: /p/4\r\n# note\r\n"
+     "Disallow:\r\nDisallow: /p/5 # staging\r\nCrawl-delay: 5\r\n"
+     "Disallow: /p/60"),
+    ("https://src3.example/robots.txt",
+     "user-AGENT : *\nDISALLOW: /p/7\ndisallow\t: /p/80"),
+    ("https://src4.example/robots.txt",
+     "User-agent: bing\nDisallow: /p/9"),
+    ("https://src5.example/robots.txt",
+     "Disallow: /orphan\nSitemap: https://src5.example/s.xml\n"
+     "User-agent: *\n\nUser-agent: b\nDisallow: /p/11\nUser-agent: c\n"
+     "Disallow: /p/12"),
+    ("https://src6.example/robots.txt", "User-agent: *"),
+]
+
+
+def q_robots_rules(spark, sf_dir):
+    """robots.txt Disallow parsing for the generic crawler: the fixture
+    bodies run through the native F.aggregate fold (operators/robots.py);
+    the oracle re-derives the SAME rules with a window-function state
+    machine (run_id = directives-before count; a UA run's star =
+    bool_or(arg='*'); each Disallow governed by the latest preceding UA
+    run) — two independent formulations of RFC 9309 grouping, hash-pinned
+    against each other. pos pins rule ORDER, not just the set."""
+    from linguistjs_spark.operators.robots import robots_rules_table
+
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "url string, robots_txt string")
+    rules = robots_rules_table(robots)
+    return (
+        rules.select(
+            "domain", F.posexplode("rules").alias("pos", "rule"))
+        .select("domain", F.col("pos").cast("long").alias("pos"), "rule")
+        .orderBy("domain", "pos")
+    )
+
+
+def q_robots_disallow(spark, sf_dir):
+    """Crawl-compliance gate: pages whose path a star-group Disallow rule
+    prefix-matches are dropped before any content rule (the companion of
+    noindex_filter at the domain level). Pages ride the messy-URL fixture
+    (mixed-case hosts, :443 ports, fragments), so the domain join and the
+    path extraction are exercised, not just the parse. Scale shape: rules
+    broadcast on domain, one F.exists prefix probe per page, text never
+    shuffles."""
+    from linguistjs_spark.operators.robots import with_robots_blocked
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "url string, robots_txt string")
+    flagged = with_robots_blocked(pages, robots)
+    return (
+        flagged.groupBy(U.domain_col(F.col("url")).alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.col("robots_blocked").cast("long")).alias("n_blocked"),
+            F.sum((~F.col("robots_blocked")).cast("long")).alias("n_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
 # (ext, content, lang under reference OR-flatten semantics, lang under
 # honest AND/negative semantics). The two flip rows exercise the ONLY rules
 # in the snapshot carrying `and`/`negative_pattern` clauses
@@ -1962,10 +2037,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
     # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~19 of the r4-recorded list (simhash_pairs .. duplicated_spans) fall
-    # past the cap this round — all hash-green in CORRECTNESS_r04.
+    # ~21 of the r4-recorded list (dedup_cardinality .. duplicated_spans)
+    # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
+        "robots_rules": q_robots_rules,
+        "robots_disallow": q_robots_disallow,
         "heuristics_delta": q_heuristics_delta,
         "warc_chunked_roundtrip": q_warc_chunked_roundtrip,
         # -- group (2): parked in r4 (pytest-only that round) — the six r4
@@ -2018,12 +2095,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
-        "dedup_cardinality": q_dedup_cardinality,
-        "minhash_pairs": q_minhash_pairs,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "dedup_cardinality": q_dedup_cardinality,
+        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
@@ -2222,6 +2299,119 @@ def _noindex_filter_oracle_sql() -> str:
            CAST(SUM(CASE WHEN {flag} THEN 0 ELSE 1 END) AS BIGINT)
                AS n_kept
     FROM pages GROUP BY source ORDER BY source
+    """
+
+
+def _robots_fixture_values() -> str:
+    """_ROBOTS_FIXTURE as a SQL VALUES list: (domain, txt). Newlines/CRs
+    are emitted as chr(10)/chr(13) concatenations so the oracle string is
+    single-line-safe and byte-identical to the Python literals."""
+    rows = []
+    for url, txt in _ROBOTS_FIXTURE:
+        dom = url.split("://")[1].split("/")[0]
+        lit = "'" + txt.replace("'", "''") \
+            .replace("\r", "' || chr(13) || '") \
+            .replace("\n", "' || chr(10) || '") + "'"
+        rows.append(f"('{dom}', {lit})")
+    return ", ".join(rows)
+
+
+# window-function state machine equivalent of operators/robots.py's
+# F.aggregate fold (DuckDB 1.0's list_reduce corrupts accumulated
+# nested-list state, so the fold itself is not restatable): run_id =
+# count of directive lines before each line, so UA lines sharing a run
+# have no directive between them; a run's star = bool_or(arg='*'); each
+# Disallow line is governed by the latest preceding UA run. Produces
+# (domain, pos, rule) in file order.
+_ROBOTS_TRIM = "regexp_replace({x}, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')"
+_ROBOTS_ARG = _ROBOTS_TRIM.format(x="regexp_replace(line, '^[^:]*:', '')")
+
+
+def _robots_parsed_cte() -> str:
+    clean = _ROBOTS_TRIM.format(x="regexp_replace(ls[i], '#.*$', '')")
+    return f"""
+robots(domain, txt) AS (VALUES {_robots_fixture_values()}),
+rlines AS (
+  SELECT domain,
+         unnest(list_transform(range(1, len(ls)+1),
+                i -> {{'idx': i, 'line': {clean}}}),
+                recursive := true)
+  FROM (SELECT domain, string_split_regex(txt, '\\r?\\n') AS ls FROM robots)
+),
+rtagged AS (
+  SELECT domain, idx, line,
+         regexp_matches(lower(line), '^user-agent[ \\t]*:') AS is_ua,
+         regexp_matches(lower(line), '^disallow[ \\t]*:') AS is_dis,
+         {_ROBOTS_ARG} AS arg,
+         (line <> '' AND NOT regexp_matches(lower(line),
+                                            '^user-agent[ \\t]*:'))
+             AS is_directive
+  FROM rlines
+),
+rruns AS (
+  SELECT domain, idx, is_ua, is_dis, arg,
+         SUM(CASE WHEN is_directive THEN 1 ELSE 0 END)
+           OVER (PARTITION BY domain ORDER BY idx
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM rtagged
+),
+rstar AS (
+  SELECT domain, run_id, bool_or(arg = '*') AS star
+  FROM rruns WHERE is_ua GROUP BY domain, run_id
+),
+rgov AS (
+  SELECT domain, idx, is_dis, arg,
+         MAX(CASE WHEN is_ua THEN run_id END)
+           OVER (PARTITION BY domain ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gov_run
+  FROM rruns
+),
+rparsed AS (
+  SELECT g.domain,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g.domain ORDER BY g.idx) - 1
+              AS BIGINT) AS pos,
+         g.arg AS rule
+  FROM rgov g JOIN rstar s
+    ON s.domain = g.domain AND s.run_id = g.gov_run
+  WHERE g.is_dis AND s.star AND g.arg <> ''
+)"""
+
+
+def _robots_rules_oracle_sql() -> str:
+    return f"""
+    WITH {_robots_parsed_cte()}
+    SELECT domain, pos, rule FROM rparsed ORDER BY domain, pos
+    """
+
+
+def _robots_disallow_oracle_sql() -> str:
+    # page domain/path via the same structural regexes as _CANON_EXPR's
+    # components (host lowered, port stripped; tail with '/' default)
+    dom = ("regexp_replace(lower(regexp_extract(url, "
+           "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
+    tail = ("regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')")
+    path = f"CASE WHEN {tail} = '' THEN '/' ELSE {tail} END"
+    return f"""
+    WITH m AS ({_MESSY_URL_SQL}),
+    {_robots_parsed_cte()},
+    rlists AS (
+      SELECT domain, list(rule ORDER BY pos) AS rules
+      FROM rparsed GROUP BY domain
+    ),
+    flagged AS (
+      SELECT {dom} AS domain,
+             (len(list_filter(coalesce(rl.rules, CAST([] AS VARCHAR[])),
+                              r -> starts_with({path}, r))) > 0) AS blocked
+      FROM m LEFT JOIN rlists rl ON rl.domain = {dom}
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+           CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_kept
+    FROM flagged GROUP BY domain ORDER BY domain
     """
 
 
@@ -3500,6 +3690,8 @@ SELECT 'https://' || source || '.example/chunked/' || CAST(doc_id AS VARCHAR)
 FROM documents WHERE doc_id % 20 = 0
 """,
         "heuristics_delta": _heuristics_delta_oracle_sql(),
+        "robots_rules": _robots_rules_oracle_sql(),
+        "robots_disallow": _robots_disallow_oracle_sql(),
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,

@@ -1,0 +1,187 @@
+"""robots.txt Disallow parsing + filtering (operators/robots.py).
+
+Three layers:
+  * crafted-case parity: Spark native fold == Python twin on every parser
+    branch (groups, multi-UA runs, CRLF, comments, empty Disallow,
+    spacing/case, orphan rules, rule-less star group, None text);
+  * randomized fuzz: generated robots bodies from a token pool, fold vs
+    twin on all of them in one job;
+  * filter semantics + plan shape: blocked set, port/fragment handling,
+    no-robots-domain passthrough, broadcast join asserted (pages side
+    never shuffles), and the shuffle-join fallback agrees.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linguistjs_spark.operators.robots import (
+    filter_robots_disallowed,
+    parse_robots_disallow,
+    robots_blocked,
+    robots_disallow_rules_col,
+    robots_rules_table,
+    url_path_col,
+    with_robots_blocked,
+)
+
+CASES = [
+    # non-star group ignored; Allow inside star group does not split it;
+    # UA after a directive starts a fresh (non-star) group
+    "User-agent: googlebot\nDisallow: /private\n\nUser-agent: *\n"
+    "Disallow: /a\nAllow: /ok\nDisallow: /b\nUser-agent: bing\nDisallow: /c",
+    # CRLF; multi-UA run shares a group; comment-only + empty Disallow
+    # lines are no-ops; trailing comment trimmed; Crawl-delay does not
+    # stop later Disallows in the same group
+    "User-agent: a\r\nUser-agent: *\r\nDisallow: /d\r\n# note\r\n"
+    "Disallow:\r\nDisallow: /e # staging\r\nCrawl-delay: 5\r\nDisallow: /f",
+    # case/spacing variants of the directive tokens
+    "user-AGENT : *\nDISALLOW: /g\ndisallow\t: /h",
+    # no star group at all
+    "User-agent: bing\nDisallow: /i",
+    # orphan Disallow before any UA line is dropped; blank line inside a
+    # UA run does not split it; a run is star if ANY of its UA lines is *
+    "Disallow: /orphan\nUser-agent: *\n\nUser-agent: b\nDisallow: /j",
+    # rule-less star group; empty / None bodies
+    "User-agent: *", "", None,
+    # colon inside the rule value survives the arg extraction
+    "User-agent: *\nDisallow: /p:q/r",
+    # Sitemap before the star group is a directive (ruled=True) but the
+    # following UA line still starts the star group
+    "Sitemap: https://x/s.xml\nUser-agent: *\nDisallow: /k",
+]
+
+
+def test_fold_matches_twin_on_crafted_cases(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "i int, txt string")
+    got = {
+        r["i"]: r["rules"]
+        for r in df.select(
+            "i", robots_disallow_rules_col(F.col("txt")).alias("rules")
+        ).collect()
+    }
+    for i, t in enumerate(CASES):
+        assert got[i] == parse_robots_disallow(t), (i, t)
+
+
+def test_twin_spot_values():
+    assert parse_robots_disallow(CASES[0]) == ["/a", "/b"]
+    assert parse_robots_disallow(CASES[1]) == ["/d", "/e", "/f"]
+    assert parse_robots_disallow(CASES[2]) == ["/g", "/h"]
+    assert parse_robots_disallow(CASES[3]) == []
+    assert parse_robots_disallow(CASES[4]) == ["/j"]
+    assert parse_robots_disallow(None) == []
+    assert parse_robots_disallow(CASES[8]) == ["/p:q/r"]
+
+
+def test_fold_matches_twin_fuzz(spark):
+    rng = random.Random(20260819)
+    pool = [
+        "User-agent: *", "User-agent: bot", "user-agent:*",
+        "Disallow: /a", "Disallow: /b/c", "Disallow:", "Disallow: *",
+        "Allow: /a", "Crawl-delay: 3", "# comment", "", "   ",
+        "Disallow: /x # tail", "Sitemap: https://e/s.xml",
+        "noise without colon", "User-agent: * # generic",
+    ]
+    texts = []
+    for _ in range(200):
+        n = rng.randrange(0, 12)
+        sep = rng.choice(["\n", "\r\n"])
+        texts.append(sep.join(rng.choice(pool) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, txt string")
+    got = {
+        r["i"]: r["rules"]
+        for r in df.select(
+            "i", robots_disallow_rules_col(F.col("txt")).alias("rules")
+        ).collect()
+    }
+    bad = [i for i, t in enumerate(texts)
+           if got[i] != parse_robots_disallow(t)]
+    assert bad == [], [(i, texts[i], got[i], parse_robots_disallow(texts[i]))
+                       for i in bad[:3]]
+
+
+def test_url_path_col(spark):
+    df = spark.createDataFrame(
+        [("https://a.example",), ("https://a.example/x?q=1#f",),
+         ("HTTPS://A.EXAMPLE:443/p/1",), ("not a url",)],
+        "url string")
+    paths = [r[0] for r in df.select(url_path_col(F.col("url"))).collect()]
+    assert paths == ["/", "/x?q=1", "/p/1", "not a url"]
+
+
+@pytest.fixture()
+def pages_and_robots(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/a/doc"),       # blocked by /a
+            (2, "https://a.example/ab"),          # blocked: /a prefixes /ab
+            (3, "https://a.example/ok"),          # kept
+            (4, "https://A.EXAMPLE:443/b/x"),     # blocked (case+port)
+            (5, "https://b.example/a/doc"),       # kept: no robots row
+            (6, "https://a.example/a/doc#frag"),  # blocked (fragment gone)
+            (7, "https://a.example"),             # kept: path '/' no match
+        ],
+        "doc_id int, url string",
+    )
+    robots = spark.createDataFrame(
+        [("https://a.example/robots.txt", CASES[0]),
+         ("https://c.example/robots.txt", CASES[3])],
+        "url string, robots_txt string",
+    )
+    return pages, robots
+
+
+def test_filter_blocked_set(spark, pages_and_robots):
+    pages, robots = pages_and_robots
+    flagged = with_robots_blocked(pages, robots)
+    got = {r["doc_id"]: r["robots_blocked"]
+           for r in flagged.collect()}
+    assert got == {1: True, 2: True, 3: False, 4: True, 5: False,
+                   6: True, 7: False}
+    kept = filter_robots_disallowed(pages, robots)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [3, 5, 7]
+    # passthrough: no helper columns leak
+    assert set(kept.columns) == {"doc_id", "url"}
+
+
+def test_shuffle_join_fallback_agrees(spark, pages_and_robots):
+    pages, robots = pages_and_robots
+    a = sorted(
+        (r["doc_id"], r["robots_blocked"])
+        for r in with_robots_blocked(pages, robots).collect())
+    b = sorted(
+        (r["doc_id"], r["robots_blocked"])
+        for r in with_robots_blocked(
+            pages, robots, broadcast_rules=False).collect())
+    assert a == b
+
+
+def test_plan_broadcast_no_page_shuffle(spark, pages_and_robots):
+    pages, robots = pages_and_robots
+    plan = with_robots_blocked(pages, robots)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the pages side must not shuffle for the join (only the broadcast
+    # exchange of the tiny rules table is allowed)
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_rules_table_and_twin_match_helper():
+    rules = parse_robots_disallow(CASES[0])
+    assert robots_blocked("/a/doc", rules)
+    assert robots_blocked("/ab", rules)
+    assert not robots_blocked("/ok", rules)
+    assert not robots_blocked("/", rules)
+
+
+def test_rules_table_domains(spark):
+    robots = spark.createDataFrame(
+        [("https://A.Example:8080/robots.txt", CASES[0])],
+        "url string, robots_txt string")
+    row = robots_rules_table(robots).collect()[0]
+    assert row["domain"] == "a.example"
+    assert row["rules"] == ["/a", "/b"]
