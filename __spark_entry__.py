@@ -1544,6 +1544,34 @@ def q_near_dup_clusters(spark, sf_dir):
     return DD.near_dup_clusters(pairs).orderBy("doc_id")
 
 
+def q_dedup_keep_policy(spark, sf_dir):
+    """Keep-selection over near-dup clusters: the quality-aware policy
+    that decides WHICH member of each near-dup family survives (largest
+    content-bytes, ties to smallest doc_id) — near_dup_clusters answers
+    "what is a family", this answers "who survives it". One join to
+    attach the signal + ONE partial-aggregating groupBy (max_by/count) —
+    no window, so the boilerplate mega-cluster collapses map-side. NULL
+    text ranks below every real document (bytes coalesced to -1 in both
+    engines — struct-with-NULL ordering is engine-specific, so it never
+    reaches the comparator)."""
+    docs = _docs(spark, sf_dir)
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5)
+    clusters = DD.near_dup_clusters(pairs)
+    scored = docs.withColumn(
+        "qual",
+        F.coalesce(F.octet_length("text").cast("double"), F.lit(-1.0)))
+    return (
+        DD.cluster_representatives(clusters, scored, quality_col="qual")
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("rep_id").cast("long").alias("rep_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("rep_quality").cast("double").alias("rep_quality"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def q_media_features(spark, sf_dir):
     return extract_media_features(synthetic_media_df(spark, 64), fake=True).select(
         "doc_id", "media_type", "n_bytes", "feat_width", "feat_height", "frame_count"
@@ -2037,12 +2065,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
     # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~21 of the r4-recorded list (dedup_cardinality .. duplicated_spans)
+    # ~22 of the r4-recorded list (semantic_dedup .. duplicated_spans)
     # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
+        "dedup_keep_policy": q_dedup_keep_policy,
         "heuristics_delta": q_heuristics_delta,
         "warc_chunked_roundtrip": q_warc_chunked_roundtrip,
         # -- group (2): parked in r4 (pytest-only that round) — the six r4
@@ -2094,11 +2123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "semantic_dedup": q_semantic_dedup,
         "dedup_cardinality": q_dedup_cardinality,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -2977,6 +3006,30 @@ FROM reach GROUP BY node
 """
 
 
+def _dedup_keep_policy_sql() -> str:
+    """Window restatement of cluster_representatives: rank members by
+    (bytes DESC, doc_id ASC), keep rn=1, n_members via a partition
+    count."""
+    return f"""
+WITH ranked AS (
+  SELECT c.cluster_id, c.doc_id,
+         coalesce(CAST(strlen(d.text) AS DOUBLE), -1.0) AS q,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY coalesce(CAST(strlen(d.text) AS DOUBLE), -1.0) DESC,
+                    c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+  FROM ({_near_dup_clusters_sql()}) c
+  JOIN documents d USING (doc_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS rep_id,
+       CAST(nm AS BIGINT) AS n_members,
+       q AS rep_quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
 # c4_clean: line-domain restatement (same split/trim/word-count/terminal-
 # punct logic); md5 over the rewritten text = byte-identity compare.
 _C4_CLEAN_SQL = r"""
@@ -3692,6 +3745,7 @@ FROM documents WHERE doc_id % 20 = 0
         "heuristics_delta": _heuristics_delta_oracle_sql(),
         "robots_rules": _robots_rules_oracle_sql(),
         "robots_disallow": _robots_disallow_oracle_sql(),
+        "dedup_keep_policy": _dedup_keep_policy_sql(),
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,

@@ -591,6 +591,73 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Which document SURVIVES each near-dup cluster — the keep-selection
+    policy that turns `near_dup_clusters` output into an actual dedup
+    decision (FineWeb/CCNet pipelines keep one canonical page per
+    near-dup family; "keep the lowest id" is the degenerate policy, this
+    operator implements the quality-aware one).
+
+    Policy: the representative is the member with the LARGEST
+    ``quality_col`` (any numeric keep-worthiness signal — content bytes,
+    Gopher score, inverse perplexity); ties break to the SMALLEST id, so
+    the result is total and deterministic. With ``quality_col=None`` the
+    policy degenerates to min-id (== the ``doc_id == cluster_id`` rule
+    near_dup_clusters documents).
+
+    Returns (cluster_id, rep_id, n_members, rep_quality).
+
+    Scale shape: one equi-join to attach the quality signal (docs side
+    pruned to (id, quality) — text never moves), then ONE groupBy on
+    cluster_id where max_by/count both partial-aggregate: the boilerplate
+    mega-cluster every web crawl has (thousands of near-identical pages)
+    collapses to one row per partition map-side, so cluster-size skew
+    never concentrates on a reducer. No window, no sort, no second pass.
+    """
+    if quality_col is None:
+        return clusters.groupBy(cluster_col).agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_members"),
+            F.lit(None).cast("double").alias("rep_quality"),
+        )
+    q = F.col("_q").cast("double")
+    members = clusters.join(
+        docs.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col)
+    # max_by over (quality, -id): max quality first, then min id — one
+    # struct comparison, still a partial-aggregating max
+    key = F.struct(q.alias("q"), (-F.col(id_col)).alias("negid"))
+    return members.groupBy(cluster_col).agg(
+        F.max_by(F.col(id_col), key).alias("rep_id"),
+        F.count("*").alias("n_members"),
+        F.max_by(q, key).alias("rep_quality"),
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Full keep-decision: every doc NOT in any cluster survives; each
+    cluster contributes exactly its representative. One join against the
+    (small) representative table + one left_anti against cluster
+    membership — docs/text shuffle at most once on the short id key."""
+    reps = cluster_representatives(
+        clusters, docs, id_col, cluster_col, quality_col
+    ).select(F.col("rep_id").alias(id_col))
+    unclustered = docs.join(
+        clusters.select(id_col), id_col, "left_anti")
+    return unclustered.unionByName(docs.join(reps, id_col, "left_semi"))
+
+
 # ---------------------------------------------------------------------------
 # span-level exact dedup (fixed-length substring duplication)
 # ---------------------------------------------------------------------------

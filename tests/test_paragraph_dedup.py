@@ -116,6 +116,54 @@ def test_near_dup_clusters_converges_under_max_iter(spark):
     assert all(v == 0 for v in got.values()) and len(got) == 31
 
 
+def test_cluster_representatives_quality_policy(spark):
+    """Representative = max quality, ties to min id; NULL-quality members
+    never outrank real ones (caller coalesces); min-id degenerate mode."""
+    from linguistjs_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(10, 10), (11, 10), (12, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(10, 5.0), (11, 9.0), (12, 9.0), (20, 1.0), (21, 1.0), (30, -1.0)],
+        "doc_id long, qual double",
+    )
+    got = {
+        r.cluster_id: (r.rep_id, r.n_members, r.rep_quality)
+        for r in cluster_representatives(
+            clusters, docs, quality_col="qual").collect()
+    }
+    # cluster 10: max qual 9.0 shared by 11 and 12 -> min id 11
+    assert got == {10: (11, 3, 9.0), 20: (20, 2, 1.0), 30: (30, 1, -1.0)}
+    # degenerate min-id mode needs no docs columns at all
+    got_min = {
+        r.cluster_id: r.rep_id
+        for r in cluster_representatives(clusters, docs).collect()
+    }
+    assert got_min == {10: 10, 20: 20, 30: 30}
+
+
+def test_dedup_survivors_composition(spark):
+    """Unclustered docs pass through; each cluster contributes exactly its
+    representative; text column survives untouched."""
+    from linguistjs_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text{i}", float(i % 3)) for i in range(8)],
+        "doc_id long, text string, qual double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 4), (5, 4)], "doc_id long, cluster_id long",
+    )
+    out = dedup_survivors(docs, clusters, quality_col="qual")
+    kept = sorted(r.doc_id for r in out.collect())
+    # cluster {1,2}: qual 1.0 vs 2.0 -> 2; cluster {4,5}: 1.0 vs 2.0 -> 5
+    assert kept == [0, 2, 3, 5, 6, 7]
+    row = {r.doc_id: r.text for r in out.collect()}
+    assert row[5] == "text5"
+
+
 def test_crlf_and_lf_paragraphs_dedup_together(spark):
     rows = [(1, "shared paragraph body\r\nunique line one"),
             (2, "shared paragraph body\nunique line two")]
