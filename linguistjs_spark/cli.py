@@ -8,6 +8,7 @@ Usage (also the spark-submit main, north rule 'spark-submit --py-files'):
         [--min-size 100b|1kb|5%|10loc] [--categories programming,markup]
         [--quick] [--child-languages] [--output DIR] [--buckets N]
         [--gopher-funnel [--funnel-min-words N]] [--drop-noindex]
+        [--robots robots.parquet|robots.txt]
         [--pagerank [--pagerank-iters N] [--pagerank-top K]]
 """
 
@@ -49,6 +50,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--child-languages", action="store_true")
     ap.add_argument("--keep-vendored", action="store_true")
     ap.add_argument("--keep-binary", action="store_true")
+    ap.add_argument("--robots", default=None, metavar="PATH",
+                    help="apply robots.txt Disallow rules before analysis: "
+                    "PATH is either a parquet table (url string, robots_txt "
+                    "string) — one row per domain — or a single robots.txt "
+                    "file applied to every input domain")
     ap.add_argument("--drop-noindex", action="store_true",
                     help="drop pages whose html declares robots-meta "
                          "noindex before any content rule")
@@ -180,6 +186,34 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.robots:
+            # crawl-compliance gate runs FIRST (before noindex/content
+            # rules) — the order a real pipeline applies them
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            from .operators.robots import (
+                filter_robots_disallowed, parse_robots_disallow,
+                url_path_col)
+
+            if _os.path.isdir(args.robots) or args.robots.endswith(".parquet"):
+                robots = spark.read.parquet(args.robots)
+                miss = {"url", "robots_txt"} - set(robots.columns)
+                if miss:
+                    print("error: --robots table missing column(s) "
+                          + ", ".join(sorted(miss)), file=sys.stderr)
+                    return 2
+                pages = filter_robots_disallowed(pages, robots)
+            else:
+                with open(args.robots, encoding="utf-8",
+                          errors="replace") as fh:
+                    rules = parse_robots_disallow(fh.read())
+                if rules:
+                    path = url_path_col(F.col("url"))
+                    lit_rules = F.array(*[F.lit(r) for r in rules])
+                    pages = pages.filter(
+                        ~F.exists(lit_rules, lambda r: path.startswith(r)))
         if args.drop_noindex:
             if "html" not in pages.columns:
                 print("error: --drop-noindex needs an html column",

@@ -148,6 +148,54 @@ def test_cli_salted_rollup_matches_plain(spark, tmp_path, capsys):
     assert salted == plain
 
 
+def test_cli_robots_modes(spark, tmp_path, capsys):
+    """--robots applies the Disallow gate before analysis, in both the
+    per-domain parquet-table form and the single-file form (file rules
+    apply to every domain)."""
+    from linguistjs_spark.cli import main
+    from linguistjs_spark.sources.pages import pages_df
+
+    path = str(tmp_path / "pages_robots")
+    pages_df(spark, n_bulk=40).write.mode("overwrite").parquet(path)
+
+    # baseline: both site0 and site1 bulk pages appear in the listing
+    rc = main([path, "--list-files"])
+    assert rc == 0
+    base_out = capsys.readouterr().out
+    assert "https://site0.example/pages/" in base_out
+    assert "https://site1.example/pages/" in base_out
+
+    # table form: site0's robots.txt disallows its /pages tree; every
+    # other domain is untouched
+    robots_tbl = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("https://site0.example/robots.txt",
+          "User-agent: *\nDisallow: /pages")],
+        "url string, robots_txt string",
+    ).write.mode("overwrite").parquet(robots_tbl)
+    rc = main([path, "--robots", robots_tbl, "--list-files"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "https://site0.example/pages/" not in out
+    assert "https://site1.example/pages/" in out
+
+    # single-file form: rules gate EVERY domain (path prefix /pages/0)
+    robots_file = tmp_path / "robots.txt"
+    robots_file.write_text("User-agent: *\nDisallow: /pages/0\n")
+    rc = main([path, "--robots", str(robots_file), "--list-files"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "/pages/0/" not in out
+    assert "/pages/1/" in out
+
+    # malformed table errors cleanly
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([("x",)], "url string").write.parquet(bad)
+    rc = main([path, "--robots", bad])
+    assert rc == 2
+    assert "robots_txt" in capsys.readouterr().err
+
+
 def test_cli_pagerank_and_noindex_modes(spark, tmp_path, capsys):
     from pyspark.sql import functions as F
 
