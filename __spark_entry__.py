@@ -1443,6 +1443,40 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_domain_quality(spark, sf_dir):
+    """Per-domain quality profile — the crawl-prioritization signal
+    (which hosts deserve recrawl budget / higher sampling weight): docs,
+    Gopher-keep count, keep rate (basis points, INTEGER floor division so
+    both engines agree without float-tie hazards), and kept bytes. One
+    projection of whole-text codegen scans + ONE map-side-combined
+    groupBy on domain — the Zipf-skewed domain key collapses per
+    partition before the shuffle, the same partial-agg shield as
+    domain_rollup. Text never shuffles."""
+    from linguistjs_spark.operators import gopher as G
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    keep = G.gopher_quality_drop_reason_col(F.col("text")).isNull()
+    scored = pages.select(
+        U.domain_col(F.col("url")).alias("domain"),
+        keep.alias("keep"),
+        F.coalesce(F.octet_length("text").cast("long"), F.lit(0)).alias("b"),
+    )
+    return (
+        scored.groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum(F.when(F.col("keep"), F.col("b")).otherwise(F.lit(0)))
+            .cast("long").alias("keep_bytes"),
+        )
+        .withColumn(
+            "keep_bp",
+            F.expr("(10000 * n_keep) div n_docs").cast("long"))
+        .orderBy("domain")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """The Gopher repetition signal suite per document: duplicate
     line/paragraph character fractions, duplicate-paragraph fraction,
@@ -2065,13 +2099,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
     # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~22 of the r4-recorded list (semantic_dedup .. duplicated_spans)
+    # ~23 of the r4-recorded list (embedding_near_dup .. duplicated_spans)
     # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
         "dedup_keep_policy": q_dedup_keep_policy,
+        "domain_quality": q_domain_quality,
         "heuristics_delta": q_heuristics_delta,
         "warc_chunked_roundtrip": q_warc_chunked_roundtrip,
         # -- group (2): parked in r4 (pytest-only that round) — the six r4
@@ -2122,11 +2157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
-        "embedding_near_dup": q_embedding_near_dup,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "dedup_cardinality": q_dedup_cardinality,
         "minhash_pairs": q_minhash_pairs,
@@ -2636,6 +2671,32 @@ def _gopher_quality_sql(min_words: int = 50, lang_gate: bool = False) -> str:
 
 # standalone gopher_quality query: published defaults, no lang gate
 _GOPHER_QUALITY_SQL = _gopher_quality_sql()
+
+
+def _domain_quality_oracle_sql() -> str:
+    """Per-domain rollup of the SAME gopher drop-reason restatement,
+    keyed by the messy-URL fixture's rebuilt domain; keep_bp uses DuckDB
+    ``//`` (floor division) to mirror Spark's integer ``div``."""
+    dom = ("regexp_replace(lower(regexp_extract(url, "
+           "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
+    return f"""
+    WITH m AS ({_MESSY_URL_SQL}),
+    g AS ({_gopher_quality_sql()}),
+    scored AS (
+      SELECT {dom} AS domain,
+             (g.drop_reason IS NULL) AS keep,
+             coalesce(CAST(strlen(m.text) AS BIGINT), 0) AS b
+      FROM m JOIN g USING (doc_id)
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN keep THEN b ELSE 0 END) AS BIGINT)
+               AS keep_bytes,
+           CAST((10000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS keep_bp
+    FROM scored GROUP BY domain ORDER BY domain
+    """
 
 
 def _gopher_repetition_oracle_sql() -> str:
@@ -3746,6 +3807,7 @@ FROM documents WHERE doc_id % 20 = 0
         "robots_rules": _robots_rules_oracle_sql(),
         "robots_disallow": _robots_disallow_oracle_sql(),
         "dedup_keep_policy": _dedup_keep_policy_sql(),
+        "domain_quality": _domain_quality_oracle_sql(),
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,
