@@ -1477,6 +1477,31 @@ def q_domain_quality(spark, sf_dir):
     )
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Incremental-crawl snapshot diff: two synthesized snapshots of the
+    same URL space (ids mod 120; old = residues 0,1; new = residues 1,2
+    with every 7th doc's text mutated) classified new / unchanged /
+    changed / gone per canonical URL. Text is md5-fingerprinted BEFORE
+    any shuffle (the operator's 100-TB contract); the oracle restates
+    both within-snapshot winner picks as ROW_NUMBER windows and the diff
+    as a FULL OUTER join on the url string."""
+    import linguistjs_spark.operators.url_ops as U
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(
+        F.lit("https://delta.example/u/"),
+        (F.col("doc_id") % 120).cast("string"))
+    ts = F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id"))
+    base = docs.select(
+        "doc_id", url.alias("url"), ts.alias("warc_ts"), "text")
+    old = base.filter(F.col("doc_id") % 3 != 2)
+    new = base.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat("text", F.lit("!"))).otherwise(F.col("text")))
+    return U.crawl_delta(old, new).orderBy("url_canon")
+
+
 def q_gopher_repetition(spark, sf_dir):
     """The Gopher repetition signal suite per document: duplicate
     line/paragraph character fractions, duplicate-paragraph fraction,
@@ -2099,7 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
     # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~23 of the r4-recorded list (embedding_near_dup .. duplicated_spans)
+    # ~24 of the r4-recorded list (ivf_ann_topk .. duplicated_spans)
     # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
@@ -2107,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_disallow": q_robots_disallow,
         "dedup_keep_policy": q_dedup_keep_policy,
         "domain_quality": q_domain_quality,
+        "crawl_delta": q_crawl_delta,
         "heuristics_delta": q_heuristics_delta,
         "warc_chunked_roundtrip": q_warc_chunked_roundtrip,
         # -- group (2): parked in r4 (pytest-only that round) — the six r4
@@ -2156,11 +2182,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "bloom_dedup": q_bloom_dedup,
         "pipeline_labels": q_pipeline_labels,
-        "ivf_ann_topk": q_ivf_ann_topk,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "dedup_cardinality": q_dedup_cardinality,
@@ -2671,6 +2697,39 @@ def _gopher_quality_sql(min_words: int = 50, lang_gate: bool = False) -> str:
 
 # standalone gopher_quality query: published defaults, no lang gate
 _GOPHER_QUALITY_SQL = _gopher_quality_sql()
+
+
+_CRAWL_DELTA_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'https://delta.example/u/' || CAST(doc_id % 120 AS VARCHAR) AS url,
+         to_timestamp(1600000000 + doc_id) AS ts,
+         text
+  FROM documents
+),
+old_w AS (
+  SELECT url, md5(coalesce(text, '')) AS fp_old,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+  FROM base WHERE doc_id % 3 <> 2
+),
+new_w AS (
+  SELECT url,
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                           ELSE text END, '')) AS fp_new,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+  FROM base WHERE doc_id % 3 <> 0
+),
+o AS (SELECT url, fp_old FROM old_w WHERE rn = 1),
+n AS (SELECT url, fp_new FROM new_w WHERE rn = 1)
+SELECT coalesce(o.url, n.url) AS url_canon,
+       CASE WHEN fp_old IS NULL THEN 'new'
+            WHEN fp_new IS NULL THEN 'gone'
+            WHEN fp_old = fp_new THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       fp_old, fp_new
+FROM o FULL OUTER JOIN n ON o.url = n.url
+ORDER BY url_canon
+"""
 
 
 def _domain_quality_oracle_sql() -> str:
@@ -3808,6 +3867,7 @@ FROM documents WHERE doc_id % 20 = 0
         "robots_disallow": _robots_disallow_oracle_sql(),
         "dedup_keep_policy": _dedup_keep_policy_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
+        "crawl_delta": _CRAWL_DELTA_SQL,
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,

@@ -89,6 +89,61 @@ def url_dedup(
     )
 
 
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff for incremental crawl processing: classify every
+    canonical URL across two crawl snapshots as
+
+      * ``new``       — in the new snapshot only (first crawl),
+      * ``unchanged`` — in both, extracted text byte-identical
+        (md5 fingerprint; NULL text fingerprints as the empty string),
+      * ``changed``   — in both, text differs (the recrawl actually
+        found new content — the only rows a downstream incremental
+        pipeline must reprocess),
+      * ``gone``      — in the old snapshot only (dropped from the
+        crawl / dead link).
+
+    Each side is first collapsed to one row per canonical URL
+    (``url_dedup``: latest ``ts_col`` wins), so re-crawl duplicates
+    WITHIN a snapshot never alias as changes.
+
+    Returns (url_canon, status, fp_old, fp_new).
+
+    Scale shape: two url_dedup shuffles (unavoidable — each snapshot must
+    pick its winner) over rows already reduced to (url_canon, 32-char
+    fingerprint, ts) — TEXT IS FINGERPRINTED BEFORE ANY SHUFFLE, so the
+    wire carries ~70 bytes/row, not documents. The diff itself is one
+    full_outer equi-join on the canonical string (collision-proof, same
+    stance as url_dedup). At 10^12 rows all three exchanges hash-partition
+    on the same key, so AQE plans the join shuffle-free on the dedup
+    outputs' existing partitioning."""
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        slim = df.select(
+            F.col(url_col),
+            F.col(ts_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        )
+        return url_dedup(slim, url_col=url_col, ts_col=ts_col).select(
+            "url_canon", F.col("_fp").alias(f"fp_{side}"))
+
+    o = prep(old, "old")
+    n = prep(new, "new")
+    joined = o.join(n, "url_canon", "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("new"))
+        .when(F.col("fp_new").isNull(), F.lit("gone"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("url_canon", status.alias("status"),
+                         "fp_old", "fp_new")
+
+
 def domain_rollup(
     pages: DataFrame,
     url_col: str = "url",

@@ -148,3 +148,69 @@ def test_canonicalization_idempotent(spark):
     ).collect()
     for r in rows:
         assert r.c1 == r.c2, (urls[r.i], r.c1, r.c2)
+
+
+def test_crawl_delta_statuses(spark):
+    """All four statuses; within-snapshot recrawl duplicates collapse to
+    the latest row before diffing (an old stale crawl never aliases as a
+    change); NULL text fingerprints as empty."""
+    import datetime as dt
+
+    from linguistjs_spark.operators.url_ops import crawl_delta
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def row(url, sec, text):
+        return (url, t0 + dt.timedelta(seconds=sec), text)
+
+    old = spark.createDataFrame(
+        [
+            row("https://e.x/same", 1, "alpha"),
+            row("https://e.x/diff", 1, "beta"),
+            row("https://e.x/gone", 1, "omega"),
+            # recrawl dup: stale body at sec 1, final body at sec 5 —
+            # the sec-5 row must be the one compared
+            row("https://e.x/dup", 1, "stale"),
+            row("https://e.x/dup", 5, "final"),
+            row("https://e.x/nulls", 1, None),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            row("https://e.x/same", 9, "alpha"),
+            row("https://e.x/diff", 9, "beta2"),
+            row("https://e.x/fresh", 9, "hello"),
+            row("https://e.x/dup", 9, "final"),
+            row("https://e.x/nulls", 9, None),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    got = {r.url_canon: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "https://e.x/same": "unchanged",
+        "https://e.x/diff": "changed",
+        "https://e.x/gone": "gone",
+        "https://e.x/fresh": "new",
+        "https://e.x/dup": "unchanged",
+        "https://e.x/nulls": "unchanged",
+    }
+
+
+def test_crawl_delta_fingerprints_before_shuffle(spark):
+    """The plan must not carry the text column through any Exchange —
+    the operator's 100-TB contract is that only (url, ts, 32-char md5)
+    ever shuffles."""
+    import datetime as dt
+
+    from linguistjs_spark.operators.url_ops import crawl_delta
+
+    rows = [("https://e.x/a", dt.datetime(2020, 1, 1), "body")]
+    old = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    new = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    plan = crawl_delta(old, new)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
