@@ -192,6 +192,18 @@ def filter_robots_disallowed(
     return flagged.filter(~F.col("_robots_blocked")).drop("_robots_blocked")
 
 
+def robots_sitemaps_col(txt: Column) -> Column:
+    """``array<string>`` of Sitemap URLs from one robots.txt body, in
+    file order. Per RFC 9309 §2.3 / sitemaps.org, ``Sitemap:`` is NOT
+    group-scoped — it applies wherever it appears — so this is a plain
+    filter+transform over the split lines, no state machine. Empty
+    values are dropped; NULL text -> empty array."""
+    lines = F.split(F.coalesce(txt, F.lit("")), r"\r?\n")
+    cleaned = F.transform(lines, _clean_line)
+    hits = F.filter(cleaned, lambda l: F.lower(l).rlike(r"^sitemap[ \t]*:"))
+    return F.filter(F.transform(hits, _directive_arg), lambda a: a != "")
+
+
 # ---------------------------------------------------------------------------
 # pure-Python twin (oracle/test reference, same spec — imperative form)
 # ---------------------------------------------------------------------------
@@ -224,3 +236,18 @@ def parse_robots_disallow(txt: str | None) -> list[str]:
 
 def robots_blocked(url_path: str, rules: list[str]) -> bool:
     return any(url_path.startswith(r) for r in rules)
+
+
+_SM_RE = _re.compile(r"^sitemap[ \t]*:")
+
+
+def parse_robots_sitemaps(txt: str | None) -> list[str]:
+    """Imperative twin of ``robots_sitemaps_col``."""
+    out = []
+    for raw in _re.split(r"\r?\n", txt or ""):
+        line = _re.sub(_TRIM, "", _re.sub(r"#.*$", "", raw))
+        if _SM_RE.match(line.lower()):
+            arg = _re.sub(_TRIM, "", _re.sub(r"^[^:]*:", "", line))
+            if arg:
+                out.append(arg)
+    return out

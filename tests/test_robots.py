@@ -185,3 +185,25 @@ def test_rules_table_domains(spark):
     row = robots_rules_table(robots).collect()[0]
     assert row["domain"] == "a.example"
     assert row["rules"] == ["/a", "/b"]
+
+
+def test_sitemaps_extraction(spark):
+    """Sitemap lines are location-independent (not group-scoped): found
+    inside non-star groups, before any group, CRLF, with comments."""
+    from linguistjs_spark.operators.robots import (
+        parse_robots_sitemaps, robots_sitemaps_col)
+
+    texts = [
+        "Sitemap: https://a/s1.xml\nUser-agent: bot\nDisallow: /x\n"
+        "sitemap: https://a/s2.xml # main\r\nSitemap:\nSITEMAP : https://a/s3.xml",
+        "", None, "User-agent: *\nDisallow: /x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, txt string")
+    got = {r["i"]: r["sm"] for r in df.select(
+        "i", robots_sitemaps_col(F.col("txt")).alias("sm")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == parse_robots_sitemaps(t), (i, t)
+    assert got[0] == ["https://a/s1.xml", "https://a/s2.xml",
+                      "https://a/s3.xml"]
+    assert got[3] == []
