@@ -1783,6 +1783,11 @@ _ROBOTS_FIXTURE = [
      "User-agent: *\n\nUser-agent: b\nDisallow: /p/11\nUser-agent: c\n"
      "Disallow: /p/12"),
     ("https://src6.example/robots.txt", "User-agent: *"),
+    # RFC 9309 §2.2.3 wildcard rules: mid-rule '*', a '$'-anchored rule
+    # that can never match (paths always continue past /p/5), and a
+    # pure-suffix '*…$' rule — all three translation branches live
+    ("https://src7.example/robots.txt",
+     "User-agent: *\nDisallow: /p/*3/doc\nDisallow: /p/5$\nDisallow: *7$"),
 ]
 
 
@@ -2482,6 +2487,17 @@ def _robots_disallow_oracle_sql() -> str:
     tail = ("regexp_replace(regexp_replace(url, '#.*$', ''), "
             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')")
     path = f"CASE WHEN {tail} = '' THEN '/' ELSE {tail} END"
+    # the SAME three-step wildcard translation as robots._rule_regex_col
+    rule_rx = (
+        r"regexp_replace(regexp_replace(regexp_replace(r, "
+        r"'([.^$+?(){}\[\]|\\])', '\\\1', 'g'), "
+        r"'\*+', '.*', 'g'), '\\\$$', '$')"
+    )
+    rule_hit = (
+        f"CASE WHEN r LIKE '%*%' OR r LIKE '%$' "
+        f"THEN regexp_matches({path}, '^' || {rule_rx}) "
+        f"ELSE starts_with({path}, r) END"
+    )
     return f"""
     WITH m AS ({_MESSY_URL_SQL}),
     {_robots_parsed_cte()},
@@ -2492,7 +2508,7 @@ def _robots_disallow_oracle_sql() -> str:
     flagged AS (
       SELECT {dom} AS domain,
              (len(list_filter(coalesce(rl.rules, CAST([] AS VARCHAR[])),
-                              r -> starts_with({path}, r))) > 0) AS blocked
+                              r -> {rule_hit})) > 0) AS blocked
       FROM m LEFT JOIN rlists rl ON rl.domain = {dom}
     )
     SELECT domain,

@@ -195,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from .operators.robots import (
                 filter_robots_disallowed, parse_robots_disallow,
-                url_path_col)
+                rule_match_col, url_path_col)
 
             if _os.path.isdir(args.robots) or args.robots.endswith(".parquet"):
                 robots = spark.read.parquet(args.robots)
@@ -213,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
                     path = url_path_col(F.col("url"))
                     lit_rules = F.array(*[F.lit(r) for r in rules])
                     pages = pages.filter(
-                        ~F.exists(lit_rules, lambda r: path.startswith(r)))
+                        ~F.exists(lit_rules,
+                                  lambda r: rule_match_col(path, r)))
         if args.drop_noindex:
             if "html" not in pages.columns:
                 print("error: --drop-noindex needs an html column",

@@ -25,15 +25,18 @@ Parsing semantics (RFC 9309 subset, deterministic, documented honestly):
   …) are honored only as group terminators for subsequent User-agent
   runs; Allow precedence is NOT implemented — ignoring Allow is the
   conservative direction for a compliance filter (we may drop pages the
-  site re-allowed, never the reverse). Wildcard ``*`` / anchor ``$``
-  inside rule values are kept as literals (classic prefix subset, the
-  pre-RFC de-facto semantics); a rule that uses them simply never
-  matches, which is again the keep-side-safe direction for Disallow-
-  with-wildcard … strictly it is the KEEP direction, recorded here so
-  the simplification is visible.
-* Matching: a URL is blocked iff any rule is a byte prefix of its path
-  (path includes the query string, per RFC 9309 §2.2.2; the fragment is
-  already gone — operators/url_ops.py strips it during canonicalization).
+  site re-allowed, never the reverse).
+* Matching (RFC 9309 §2.2.3): a rule with no ``*`` and no trailing
+  ``$`` blocks iff it is a byte PREFIX of the page's path (the fast
+  path — one startswith, no regex). A rule containing ``*`` (any char
+  sequence) or ending in ``$`` (end-of-path anchor) is translated to an
+  anchored regex — every other regex metachar in the rule is escaped,
+  so only the two RFC operators are live. The path includes the query
+  string per §2.2.2; the fragment is already gone (operators/url_ops.py
+  strips it during canonicalization). URLs are single-line by contract
+  (real crawl URLs never carry raw newlines), which keeps the trailing
+  ``$`` anchor engine-portable (Java/RE2/Python disagree only about
+  ``$`` before a final newline).
 
 Both stages are native column algebra:
 
@@ -123,6 +126,37 @@ def robots_disallow_rules_col(txt: Column) -> Column:
     return F.aggregate(lines, init, step, lambda st: st.getField("rules"))
 
 
+# RFC 9309 §2.2.3 wildcard translation: escape every regex metachar
+# except '*', collapse '*'-runs to '.*', turn a rule-final escaped '$'
+# back into the end anchor. The same three regexp_replace steps are
+# restated verbatim in the DuckDB oracle and in the Python twin below.
+_RULE_ESC_PAT = r"([.^$+?(){}\[\]|\\])"
+
+
+def _rule_regex_col(rule: Column) -> Column:
+    esc = F.regexp_replace(rule, _RULE_ESC_PAT, r"\\$1")
+    esc = F.regexp_replace(esc, r"\*+", ".*")
+    # Java replacement syntax: a bare '$' is a group ref, so the literal
+    # anchor must be written '\$' (DuckDB/RE2 replacement takes '$' raw —
+    # the two translations still emit the same STRING)
+    return F.regexp_replace(esc, r"\\\$$", r"\$")
+
+
+def _rule_is_wild(rule: Column) -> Column:
+    return rule.contains("*") | rule.endswith("$")
+
+
+def rule_match_col(path: Column, rule: Column) -> Column:
+    """True iff one Disallow rule matches a path: startswith fast path
+    for literal rules, anchored dynamic regex only for rules that
+    actually use '*' or a trailing '$' (regex compile cost is paid per
+    wildcard rule only)."""
+    return F.when(
+        _rule_is_wild(rule),
+        F.regexp_like(path, F.concat(F.lit("^"), _rule_regex_col(rule))),
+    ).otherwise(path.startswith(rule))
+
+
 def robots_rules_table(
     robots: DataFrame, url_col: str = "url", text_col: str = "robots_txt"
 ) -> DataFrame:
@@ -168,7 +202,7 @@ def with_robots_blocked(
         rules, domain_col(F.col(url_col)) == rules["domain"], "left")
     blocked = F.exists(
         F.coalesce(rules["rules"], F.array().cast("array<string>")),
-        lambda r: F.col("_robots_path").startswith(r),
+        lambda r: rule_match_col(F.col("_robots_path"), r),
     )
     return (
         joined.withColumn(flag_col, blocked)
@@ -234,8 +268,20 @@ def parse_robots_disallow(txt: str | None) -> list[str]:
     return rules
 
 
+def _rule_to_regex(rule: str) -> str:
+    esc = _re.sub(r"([.^$+?(){}\[\]|\\])", r"\\\1", rule)
+    esc = _re.sub(r"\*+", ".*", esc)
+    return _re.sub(r"\\\$$", "$", esc)
+
+
 def robots_blocked(url_path: str, rules: list[str]) -> bool:
-    return any(url_path.startswith(r) for r in rules)
+    for r in rules:
+        if "*" in r or r.endswith("$"):
+            if _re.match("^" + _rule_to_regex(r), url_path):
+                return True
+        elif url_path.startswith(r):
+            return True
+    return False
 
 
 _SM_RE = _re.compile(r"^sitemap[ \t]*:")

@@ -207,3 +207,36 @@ def test_sitemaps_extraction(spark):
     assert got[0] == ["https://a/s1.xml", "https://a/s2.xml",
                       "https://a/s3.xml"]
     assert got[3] == []
+
+
+def test_wildcard_rule_matching(spark):
+    """RFC 9309 §2.2.3 '*' / trailing-'$' semantics, Spark column vs
+    python twin over a (path, rule) matrix; regex metachars inside rules
+    stay literal."""
+    from linguistjs_spark.operators.robots import rule_match_col
+
+    paths = ["/p/13/doc13", "/p/5", "/p/5/doc5", "/a.b/c", "/aXb/c",
+             "/p/47", "/x?q=7", "/fish.php", "/"]
+    rules = ["/p/*3/doc", "/p/5$", "*7$", "/a.b", "*", "/p/",
+             "/*.php", "/p/5", "$"]
+    rows = [(p, r) for p in paths for r in rules]
+    df = spark.createDataFrame(rows, "path string, rule string")
+    got = [
+        (r["path"], r["rule"], r["m"])
+        for r in df.select(
+            "path", "rule",
+            rule_match_col(F.col("path"), F.col("rule")).alias("m"),
+        ).collect()
+    ]
+    for p, r, m in got:
+        assert m == robots_blocked(p, [r]), (p, r, m)
+    mm = {(p, r): m for p, r, m in got}
+    assert mm[("/p/13/doc13", "/p/*3/doc")]      # mid-rule wildcard
+    assert mm[("/p/5", "/p/5$")]                 # anchor at exact end
+    assert not mm[("/p/5/doc5", "/p/5$")]        # anchor rejects longer
+    assert mm[("/p/47", "*7$")]                  # suffix rule
+    assert mm[("/x?q=7", "*7$")]                 # query is matchable
+    assert mm[("/a.b/c", "/a.b")]                # '.' literal: prefix hit
+    assert not mm[("/aXb/c", "/a.b")]            # '.' is NOT regex-dot
+    assert mm[("/fish.php", "/*.php")]
+    assert all(mm[(p, "*")] for p in paths)      # bare '*' blocks all
