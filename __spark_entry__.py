@@ -1788,6 +1788,13 @@ _ROBOTS_FIXTURE = [
     # pure-suffix '*…$' rule — all three translation branches live
     ("https://src7.example/robots.txt",
      "User-agent: *\nDisallow: /p/*3/doc\nDisallow: /p/5$\nDisallow: *7$"),
+    # Allow/Disallow precedence interplay (only robots_allow_precedence
+    # reads the Allow lines; the conservative queries see just the
+    # Disallow subset): /p/11 re-admitted inside blocked /p/1*, and a
+    # wildcard Allow more specific than its wildcard Disallow
+    ("https://src8.example/robots.txt",
+     "User-agent: *\nDisallow: /p/1\nAllow: /p/11\nDisallow: /p/111\n"
+     "Allow: /p/*7/doc\nDisallow: /p/*7"),
 ]
 
 
@@ -1862,6 +1869,35 @@ _DELTA_CASES = [
     (".md", "# title\n\nbody text\n", "Markdown", "Markdown"),
     (".ms", ".TH FOO 1\n", "Roff", "Roff"),
 ]
+
+
+def q_robots_allow_precedence(spark, sf_dir):
+    """Full RFC 9309 §2.2.2 matching over the same pages/fixture as
+    robots_disallow: longest matching rule wins, Allow wins ties —
+    per-domain blocked/kept counts under BOTH modes side by side, so the
+    conservative-vs-RFC delta is a measured artifact (the src8 Allow
+    rules re-admit pages the conservative mode drops; every other domain
+    must agree between the columns)."""
+    from linguistjs_spark.operators.robots import with_robots_blocked
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "url string, robots_txt string")
+    cons = with_robots_blocked(pages, robots, flag_col="b_cons")
+    both = with_robots_blocked(
+        cons, robots, flag_col="b_rfc", allow_precedence=True)
+    return (
+        both.groupBy(U.domain_col(F.col("url")).alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.col("b_cons").cast("long")).alias("n_blocked_cons"),
+            F.sum(F.col("b_rfc").cast("long")).alias("n_blocked_rfc"),
+            F.sum((F.col("b_cons") & ~F.col("b_rfc")).cast("long"))
+            .alias("n_readmitted"),
+        )
+        .orderBy("domain")
+    )
 
 
 def q_heuristics_delta(spark, sf_dir):
@@ -2129,12 +2165,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
     # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~24 of the r4-recorded list (ivf_ann_topk .. duplicated_spans)
+    # ~25 of the r4-recorded list (pipeline_labels .. duplicated_spans)
     # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
+        "robots_allow_precedence": q_robots_allow_precedence,
         "dedup_keep_policy": q_dedup_keep_policy,
         "domain_quality": q_domain_quality,
         "crawl_delta": q_crawl_delta,
@@ -2186,11 +2223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "line_dedup": q_line_dedup,
         "bloom_dedup": q_bloom_dedup,
-        "pipeline_labels": q_pipeline_labels,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
@@ -2422,8 +2459,10 @@ _ROBOTS_TRIM = "regexp_replace({x}, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')"
 _ROBOTS_ARG = _ROBOTS_TRIM.format(x="regexp_replace(line, '^[^:]*:', '')")
 
 
-def _robots_parsed_cte() -> str:
+def _robots_parsed_cte(include_allow: bool = False) -> str:
     clean = _ROBOTS_TRIM.format(x="regexp_replace(ls[i], '#.*$', '')")
+    kind_gate = ("(g.is_dis OR g.is_alw)" if include_allow else "g.is_dis")
+    kind_col = ", g.is_alw AS allow" if include_allow else ""
     return f"""
 robots(domain, txt) AS (VALUES {_robots_fixture_values()}),
 rlines AS (
@@ -2437,6 +2476,7 @@ rtagged AS (
   SELECT domain, idx, line,
          regexp_matches(lower(line), '^user-agent[ \\t]*:') AS is_ua,
          regexp_matches(lower(line), '^disallow[ \\t]*:') AS is_dis,
+         regexp_matches(lower(line), '^allow[ \\t]*:') AS is_alw,
          {_ROBOTS_ARG} AS arg,
          (line <> '' AND NOT regexp_matches(lower(line),
                                             '^user-agent[ \\t]*:'))
@@ -2444,7 +2484,7 @@ rtagged AS (
   FROM rlines
 ),
 rruns AS (
-  SELECT domain, idx, is_ua, is_dis, arg,
+  SELECT domain, idx, is_ua, is_dis, is_alw, arg,
          SUM(CASE WHEN is_directive THEN 1 ELSE 0 END)
            OVER (PARTITION BY domain ORDER BY idx
                  ROWS UNBOUNDED PRECEDING) AS run_id
@@ -2455,7 +2495,7 @@ rstar AS (
   FROM rruns WHERE is_ua GROUP BY domain, run_id
 ),
 rgov AS (
-  SELECT domain, idx, is_dis, arg,
+  SELECT domain, idx, is_dis, is_alw, arg,
          MAX(CASE WHEN is_ua THEN run_id END)
            OVER (PARTITION BY domain ORDER BY idx
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gov_run
@@ -2465,10 +2505,10 @@ rparsed AS (
   SELECT g.domain,
          CAST(ROW_NUMBER() OVER (PARTITION BY g.domain ORDER BY g.idx) - 1
               AS BIGINT) AS pos,
-         g.arg AS rule
+         g.arg AS rule{kind_col}
   FROM rgov g JOIN rstar s
     ON s.domain = g.domain AND s.run_id = g.gov_run
-  WHERE g.is_dis AND s.star AND g.arg <> ''
+  WHERE {kind_gate} AND s.star AND g.arg <> ''
 )"""
 
 
@@ -2517,6 +2557,56 @@ def _robots_disallow_oracle_sql() -> str:
                AS n_blocked,
            CAST(SUM(CASE WHEN blocked THEN 0 ELSE 1 END) AS BIGINT)
                AS n_kept
+    FROM flagged GROUP BY domain ORDER BY domain
+    """
+
+
+def _robots_allow_precedence_oracle_sql() -> str:
+    """Conservative + RFC-precedence matching side by side: best
+    matching Disallow/Allow lengths via list folds over the allow-aware
+    parse, same 3-step wildcard translation."""
+    dom = ("regexp_replace(lower(regexp_extract(url, "
+           "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
+    tail = ("regexp_replace(regexp_replace(url, '#.*$', ''), "
+            "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')")
+    path = f"CASE WHEN {tail} = '' THEN '/' ELSE {tail} END"
+    rule_rx = (
+        r"regexp_replace(regexp_replace(regexp_replace(x.pfx, "
+        r"'([.^$+?(){}\[\]|\\])', '\\\1', 'g'), "
+        r"'\*+', '.*', 'g'), '\\\$$', '$')"
+    )
+    hit = (
+        f"CASE WHEN x.pfx LIKE '%*%' OR x.pfx LIKE '%$' "
+        f"THEN regexp_matches({path}, '^' || {rule_rx}) "
+        f"ELSE starts_with({path}, x.pfx) END"
+    )
+    def best(a: str) -> str:
+        return ("coalesce(list_max(list_transform(list_filter(rl.rules, "
+                "x -> x.allow = " + a + " AND " + hit + "), "
+                "x -> length(x.pfx))), -1)")
+
+    return f"""
+    WITH m AS ({_MESSY_URL_SQL}),
+    {_robots_parsed_cte(include_allow=True)},
+    rlists AS (
+      SELECT domain,
+             list({{'pfx': rule, 'allow': allow}} ORDER BY pos) AS rules
+      FROM rparsed GROUP BY domain
+    ),
+    flagged AS (
+      SELECT {dom} AS domain,
+             coalesce({best('false')} > -1, false) AS b_cons,
+             coalesce({best('false')} > {best('true')}, false) AS b_rfc
+      FROM m LEFT JOIN rlists rl ON rl.domain = {dom}
+    )
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CASE WHEN b_cons THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked_cons,
+           CAST(SUM(CASE WHEN b_rfc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked_rfc,
+           CAST(SUM(CASE WHEN b_cons AND NOT b_rfc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_readmitted
     FROM flagged GROUP BY domain ORDER BY domain
     """
 
@@ -3881,6 +3971,7 @@ FROM documents WHERE doc_id % 20 = 0
         "heuristics_delta": _heuristics_delta_oracle_sql(),
         "robots_rules": _robots_rules_oracle_sql(),
         "robots_disallow": _robots_disallow_oracle_sql(),
+        "robots_allow_precedence": _robots_allow_precedence_oracle_sql(),
         "dedup_keep_policy": _dedup_keep_policy_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,

@@ -21,11 +21,15 @@ Parsing semantics (RFC 9309 subset, deterministic, documented honestly):
 * ``Disallow:`` lines in an applicable group contribute their value as a
   PATH-PREFIX rule, in file order. An empty value (``Disallow:``) means
   allow-all and contributes nothing.
-* ``Allow:`` lines and other directives (``Crawl-delay``, ``Sitemap``,
-  …) are honored only as group terminators for subsequent User-agent
-  runs; Allow precedence is NOT implemented — ignoring Allow is the
-  conservative direction for a compliance filter (we may drop pages the
-  site re-allowed, never the reverse).
+* ``Allow:`` rules are collected alongside Disallow
+  (``robots_group_rules_col``); the DEFAULT matching mode still ignores
+  them — the conservative direction for a compliance filter (we may
+  drop pages the site re-allowed, never the reverse) — while
+  ``allow_precedence=True`` applies full RFC 9309 §2.2.2 longest-match
+  semantics (specificity = raw rule character length (octet length for the ASCII rules real robots files carry), Allow wins ties — the
+  priority scheme of Google's open-sourced parser). Other directives
+  (``Crawl-delay``, ``Sitemap``, …) act only as group terminators for
+  subsequent User-agent runs.
 * Matching (RFC 9309 §2.2.3): a rule with no ``*`` and no trailing
   ``$`` blocks iff it is a byte PREFIX of the page's path (the fast
   path — one startswith, no regex). A rule containing ``*`` (any char
@@ -74,6 +78,7 @@ from .url_ops import _TAIL_PAT, domain_col
 _TRIM = r"^[ \t\r]+|[ \t\r]+$"
 _UA_PAT = r"^user-agent[ \t]*:"
 _DIS_PAT = r"^disallow[ \t]*:"
+_ALW_PAT = r"^allow[ \t]*:"
 
 
 def _clean_line(raw: Column) -> Column:
@@ -86,17 +91,22 @@ def _directive_arg(line: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(line, r"^[^:]*:", ""), _TRIM, "")
 
 
-def robots_disallow_rules_col(txt: Column) -> Column:
-    """``array<string>`` of Disallow path-prefixes for user-agent ``*``
-    from one robots.txt body, in file order (see module docstring for the
-    exact group semantics). One native fold; NULL text -> empty array."""
+def robots_group_rules_col(txt: Column) -> Column:
+    """``array<struct<pfx:string, allow:boolean>>`` — every Disallow AND
+    Allow rule of the user-agent-``*`` groups of one robots.txt body, in
+    file order (see module docstring for the exact group semantics). One
+    native fold; NULL text -> empty array. Feed to
+    ``robots_blocked_precedence_col`` for full RFC longest-match
+    semantics, or strip to the Disallow subset for the conservative
+    default."""
     lines = F.split(F.coalesce(txt, F.lit("")), r"\r?\n")
+    empty = F.array().cast("array<struct<pfx:string,allow:boolean>>")
     init = F.struct(
         F.lit(False).alias("star"),
         # ruled=True so the file's FIRST user-agent line starts a fresh
         # run instead of merging with the (nonexistent) previous one
         F.lit(True).alias("ruled"),
-        F.array().cast("array<string>").alias("rules"),
+        empty.alias("rules"),
     )
 
     def step(st: Column, raw: Column) -> Column:
@@ -104,6 +114,7 @@ def robots_disallow_rules_col(txt: Column) -> Column:
         low = F.lower(line)
         is_ua = low.rlike(_UA_PAT)
         is_dis = low.rlike(_DIS_PAT)
+        is_alw = low.rlike(_ALW_PAT)
         arg = _directive_arg(line)
         star = st.getField("star")
         ruled = st.getField("ruled")
@@ -115,7 +126,10 @@ def robots_disallow_rules_col(txt: Column) -> Column:
         new_ruled = F.when(is_ua, F.lit(False)).otherwise(
             F.when(line == "", ruled).otherwise(F.lit(True)))
         new_rules = F.when(
-            is_dis & star & (arg != ""), F.array_append(rules, arg)
+            (is_dis | is_alw) & star & (arg != ""),
+            F.array_append(
+                rules,
+                F.struct(arg.alias("pfx"), is_alw.alias("allow"))),
         ).otherwise(rules)
         return F.struct(
             new_star.alias("star"),
@@ -124,6 +138,16 @@ def robots_disallow_rules_col(txt: Column) -> Column:
         )
 
     return F.aggregate(lines, init, step, lambda st: st.getField("rules"))
+
+
+def robots_disallow_rules_col(txt: Column) -> Column:
+    """``array<string>`` of just the Disallow path rules for user-agent
+    ``*``, in file order (the conservative default's input — Allow rules
+    dropped, see module docstring)."""
+    return F.transform(
+        F.filter(robots_group_rules_col(txt), lambda r: ~r.getField("allow")),
+        lambda r: r.getField("pfx"),
+    )
 
 
 # RFC 9309 §2.2.3 wildcard translation: escape every regex metachar
@@ -157,15 +181,57 @@ def rule_match_col(path: Column, rule: Column) -> Column:
     ).otherwise(path.startswith(rule))
 
 
+def robots_blocked_precedence_col(path: Column, rules: Column) -> Column:
+    """Full RFC 9309 §2.2.2 precedence over a
+    ``array<struct<pfx,allow>>`` rules column: among ALL matching rules
+    the most specific wins — specificity = character length of the raw rule
+    text, Allow winning ties (the priority scheme of Google's
+    open-sourced robots.txt parser, which counts octets — identical for
+    the ASCII rules real robots files carry). Blocked iff the winning
+    rule is a Disallow; no matching rule means allowed. One native fold
+    over the (small) rules array, wildcard rules still pay regex cost
+    only for themselves."""
+    init = F.struct(
+        F.lit(-1).alias("a"),  # best matching Allow length
+        F.lit(-1).alias("d"),  # best matching Disallow length
+    )
+
+    def step(st: Column, r: Column) -> Column:
+        hit = rule_match_col(path, r.getField("pfx"))
+        ln = F.length(r.getField("pfx"))
+        a = st.getField("a")
+        d = st.getField("d")
+        return F.struct(
+            F.when(hit & r.getField("allow") & (ln > a), ln)
+            .otherwise(a).alias("a"),
+            F.when(hit & ~r.getField("allow") & (ln > d), ln)
+            .otherwise(d).alias("d"),
+        )
+
+    best = F.aggregate(rules, init, step)
+    return best.getField("d") > best.getField("a")
+
+
 def robots_rules_table(
     robots: DataFrame, url_col: str = "url", text_col: str = "robots_txt"
 ) -> DataFrame:
-    """(domain, rules array) — one row per robots.txt document. ``url``
-    may be the robots.txt URL or any same-host URL (only the host is
-    read)."""
+    """(domain, rules array<string>) — Disallow rules only, one row per
+    robots.txt document. ``url`` may be the robots.txt URL or any
+    same-host URL (only the host is read)."""
     return robots.select(
         domain_col(F.col(url_col)).alias("domain"),
         robots_disallow_rules_col(F.col(text_col)).alias("rules"),
+    )
+
+
+def robots_group_rules_table(
+    robots: DataFrame, url_col: str = "url", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, rules array<struct<pfx,allow>>) — the full rule set for
+    RFC precedence matching."""
+    return robots.select(
+        domain_col(F.col(url_col)).alias("domain"),
+        robots_group_rules_col(F.col(text_col)).alias("rules"),
     )
 
 
@@ -185,25 +251,41 @@ def with_robots_blocked(
     robots_text_col: str = "robots_txt",
     flag_col: str = "robots_blocked",
     broadcast_rules: bool = True,
+    allow_precedence: bool = False,
 ) -> DataFrame:
-    """Add ``flag_col`` (boolean): True iff some applicable Disallow rule
-    prefix-matches the page's path. Pages on domains with no robots.txt
-    row (or a rule-less one) are never blocked.
+    """Add ``flag_col`` (boolean). Default: True iff some applicable
+    Disallow rule matches the page's path — Allow rules ignored, the
+    conservative (drop-side-safe) stance. ``allow_precedence=True``
+    switches to full RFC 9309 §2.2.2 longest-match semantics (Allow can
+    re-admit a page a broader Disallow covers; ties go to Allow). Pages
+    on domains with no robots.txt row (or a rule-less one) are never
+    blocked either way.
 
     Scale: rules ride a broadcast join on ``domain`` by default; at
     crawl-wide domain counts pass ``broadcast_rules=False`` for a shuffle
     join on the short domain key (text/html columns still cross the wire
     exactly once, as part of the page row they started in)."""
-    rules = robots_rules_table(robots, robots_url_col, robots_text_col)
+    if allow_precedence:
+        rules = robots_group_rules_table(
+            robots, robots_url_col, robots_text_col)
+        empty = F.array().cast("array<struct<pfx:string,allow:boolean>>")
+    else:
+        rules = robots_rules_table(robots, robots_url_col, robots_text_col)
+        empty = F.array().cast("array<string>")
     if broadcast_rules:
         rules = F.broadcast(rules)
     path = url_path_col(F.col(url_col))
     joined = pages.withColumn("_robots_path", path).join(
         rules, domain_col(F.col(url_col)) == rules["domain"], "left")
-    blocked = F.exists(
-        F.coalesce(rules["rules"], F.array().cast("array<string>")),
-        lambda r: rule_match_col(F.col("_robots_path"), r),
-    )
+    rules_arr = F.coalesce(rules["rules"], empty)
+    if allow_precedence:
+        blocked = robots_blocked_precedence_col(
+            F.col("_robots_path"), rules_arr)
+    else:
+        blocked = F.exists(
+            rules_arr,
+            lambda r: rule_match_col(F.col("_robots_path"), r),
+        )
     return (
         joined.withColumn(flag_col, blocked)
         .drop(rules["domain"]).drop(rules["rules"]).drop("_robots_path")
@@ -248,9 +330,12 @@ _UA_RE = _re.compile(r"^user-agent[ \t]*:")
 _DIS_RE = _re.compile(r"^disallow[ \t]*:")
 
 
-def parse_robots_disallow(txt: str | None) -> list[str]:
-    """Imperative twin of ``robots_disallow_rules_col`` (pinned
-    byte-for-byte in tests/test_robots.py)."""
+_ALW_RE = _re.compile(r"^allow[ \t]*:")
+
+
+def parse_robots_group(txt: str | None) -> list[tuple[str, bool]]:
+    """Imperative twin of ``robots_group_rules_col``: (pfx, allow)
+    pairs in file order (pinned in tests/test_robots.py)."""
     star, ruled, rules = False, True, []
     for raw in _re.split(r"\r?\n", txt or ""):
         line = _re.sub(_TRIM, "", _re.sub(r"#.*$", "", raw))
@@ -262,10 +347,18 @@ def parse_robots_disallow(txt: str | None) -> list[str]:
             continue
         if line == "":
             continue
-        if _DIS_RE.match(low) and star and arg != "":
-            rules.append(arg)
+        if star and arg != "":
+            if _DIS_RE.match(low):
+                rules.append((arg, False))
+            elif _ALW_RE.match(low):
+                rules.append((arg, True))
         ruled = True
     return rules
+
+
+def parse_robots_disallow(txt: str | None) -> list[str]:
+    """Imperative twin of ``robots_disallow_rules_col``."""
+    return [p for p, allow in parse_robots_group(txt) if not allow]
 
 
 def _rule_to_regex(rule: str) -> str:
@@ -274,14 +367,28 @@ def _rule_to_regex(rule: str) -> str:
     return _re.sub(r"\\\$$", "$", esc)
 
 
+def _rule_hits(url_path: str, rule: str) -> bool:
+    if "*" in rule or rule.endswith("$"):
+        return _re.match("^" + _rule_to_regex(rule), url_path) is not None
+    return url_path.startswith(rule)
+
+
 def robots_blocked(url_path: str, rules: list[str]) -> bool:
-    for r in rules:
-        if "*" in r or r.endswith("$"):
-            if _re.match("^" + _rule_to_regex(r), url_path):
-                return True
-        elif url_path.startswith(r):
-            return True
-    return False
+    return any(_rule_hits(url_path, r) for r in rules)
+
+
+def robots_blocked_precedence(
+    url_path: str, rules: list[tuple[str, bool]]
+) -> bool:
+    """Imperative twin of ``robots_blocked_precedence_col``."""
+    best_a, best_d = -1, -1
+    for pfx, allow in rules:
+        if _rule_hits(url_path, pfx):
+            if allow:
+                best_a = max(best_a, len(pfx))
+            else:
+                best_d = max(best_d, len(pfx))
+    return best_d > best_a
 
 
 _SM_RE = _re.compile(r"^sitemap[ \t]*:")

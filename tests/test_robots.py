@@ -240,3 +240,68 @@ def test_wildcard_rule_matching(spark):
     assert not mm[("/aXb/c", "/a.b")]            # '.' is NOT regex-dot
     assert mm[("/fish.php", "/*.php")]
     assert all(mm[(p, "*")] for p in paths)      # bare '*' blocks all
+
+
+def test_group_parse_collects_allow(spark):
+    """Allow rules ride the same group fold; disallow projection is
+    unchanged."""
+    from linguistjs_spark.operators.robots import (
+        parse_robots_group, robots_group_rules_col)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "i int, txt string")
+    got = {
+        r["i"]: [(x["pfx"], x["allow"]) for x in r["rules"]]
+        for r in df.select(
+            "i", robots_group_rules_col(F.col("txt")).alias("rules")
+        ).collect()
+    }
+    for i, t in enumerate(CASES):
+        assert got[i] == parse_robots_group(t), (i, t)
+    assert got[0] == [("/a", False), ("/ok", True), ("/b", False)]
+
+
+def test_allow_precedence_semantics(spark):
+    """RFC 9309 §2.2.2: longest matching rule wins, Allow wins ties;
+    no-match default is allowed; wildcard specificity = raw rule
+    length."""
+    from linguistjs_spark.operators.robots import (
+        parse_robots_group, robots_blocked_precedence, with_robots_blocked)
+
+    txt = ("User-agent: *\n"
+           "Disallow: /\n"
+           "Allow: /public\n"
+           "Disallow: /public/private\n"
+           "Allow: /tie\nDisallow: /tie\n"
+           "Disallow: /p/*7\nAllow: /p/*7/doc\n")
+    rules = parse_robots_group(txt)
+    cases = {
+        "/": True,                       # only Disallow: / matches
+        "/x": True,
+        "/public/a": False,              # Allow /public beats Disallow /
+        "/public/private/a": True,       # deeper Disallow beats Allow
+        "/tie": False,                   # equal length -> Allow wins
+        "/p/17/doc17": False,            # wildcard allow (9) > dis (5)
+    }
+    for p, want in cases.items():
+        assert robots_blocked_precedence(p, rules) == want, p
+
+    pages = spark.createDataFrame(
+        [(p,) for p in cases], "path string").selectExpr(
+        "concat('https://a.example', path) AS url")
+    robots = spark.createDataFrame(
+        [("https://a.example/robots.txt", txt)],
+        "url string, robots_txt string")
+    got = {
+        r["url"]: r["robots_blocked"]
+        for r in with_robots_blocked(
+            pages, robots, allow_precedence=True).collect()
+    }
+    for p, want in cases.items():
+        assert got[f"https://a.example{p}"] == want, p
+    # conservative default ignores Allow: /public/a is blocked by '/'
+    got_cons = {
+        r["url"]: r["robots_blocked"]
+        for r in with_robots_blocked(pages, robots).collect()
+    }
+    assert got_cons["https://a.example/public/a"] is True
