@@ -555,6 +555,49 @@ def main() -> None:
             ).count(),
         )
 
+        # round-5 op: robots.txt compliance gate at pipeline volume —
+        # REPLICATE×docs pages against a 40-domain rule set (literal +
+        # wildcard + Allow-precedence rules, so both the startswith fast
+        # path and the dynamic-regex path pay their real cost). Scan →
+        # broadcast join on domain → per-page rule fold; text rides along
+        # untouched, nothing shuffles.
+        from linguistjs_spark.operators.robots import with_robots_blocked
+
+        def _robots_pages():
+            d = fresh_docs()
+            rep = spark.range(REPLICATE).select(
+                F.col("id").alias("_rep"))
+            return d.crossJoin(F.broadcast(rep)).select(
+                F.concat(
+                    F.lit("https://site"),
+                    ((F.col("doc_id") + F.col("_rep")) % 40).cast("string"),
+                    F.lit(".example/p/"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit("/doc"), F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "text",
+            )
+
+        _robots_rules_rows = [
+            (f"https://site{i}.example/robots.txt",
+             "User-agent: *\nDisallow: /p/1\nAllow: /p/11\n"
+             "Disallow: /p/*3/doc\nDisallow: *7$\nDisallow: /p/2\n"
+             "Allow: /p/2$")
+            for i in range(40)
+        ]
+
+        def _robots_job():
+            robots = spark.createDataFrame(
+                _robots_rules_rows, "url string, robots_txt string")
+            return with_robots_blocked(
+                _robots_pages(), robots, allow_precedence=True
+            ).filter(F.col("robots_blocked")).count()
+
+        run_leg(
+            "robots_gate", queries, queries_host,
+            lambda: lambda: _robots_job(),
+        )
+
         # round-4 op: iterative link-graph machinery at scale — synthetic
         # domain graph (Zipf-ish in-degree via a squared hash), weighted
         # PageRank iterations. Measures the per-iteration keyed join +
