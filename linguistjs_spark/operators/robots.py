@@ -44,10 +44,12 @@ Parsing semantics (RFC 9309 subset, deterministic, documented honestly):
 
 Both stages are native column algebra:
 
-* ``robots_disallow_rules_col`` — ONE ``F.aggregate`` fold over the
-  split lines with a 3-field struct state ``(star, ruled, rules)``:
-  whole-stage-codegen JVM execution, no UDF, no shuffle. robots.txt
-  bodies are KiB-sized so the per-row fold is trivially bounded.
+* ``robots_group_rules_col`` — ONE ``F.aggregate`` fold over the
+  split lines with a 3-field struct state ``(star, ruled, rules)``
+  collecting (pfx, allow) rule structs; ``robots_disallow_rules_col``
+  is its Disallow projection. Whole-stage-codegen JVM execution, no
+  UDF, no shuffle; robots.txt bodies are KiB-sized so the per-row fold
+  is trivially bounded.
 * ``filter_robots_disallowed`` — rules table joined on domain
   (broadcast by default: one row per crawled domain at ~10^7-10^8
   domains can exceed broadcast limits, so ``broadcast_rules=False``
