@@ -1871,6 +1871,38 @@ _DELTA_CASES = [
 ]
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Crawl-frontier step after robots: <loc> URLs out of synthesized
+    sitemap XML (mixed-case tags, surrounding whitespace, &amp; entity,
+    an empty <loc> that must drop) — one regexp_extract_all scan +
+    literal entity decode, order pinned via pos. Oracle runs the SAME
+    regex + replace chain in DuckDB."""
+    from linguistjs_spark.operators.robots import sitemap_locs_col
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://'),
+        F.col("source"),
+        F.lit(".example/p?x=1&amp;y="),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(" </loc></url>"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("<url><loc>  </loc></url>"))
+        .otherwise(F.lit("")),
+        F.lit("<url><LOC>https://"),
+        F.col("source"),
+        F.lit(".example/doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("</LOC></url></urlset>"),
+    )
+    locs = docs.select(
+        "doc_id", sitemap_locs_col(xml).alias("locs"))
+    return (
+        locs.select("doc_id", F.posexplode("locs").alias("pos", "loc"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "loc")
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q_robots_allow_precedence(spark, sf_dir):
     """Full RFC 9309 §2.2.2 matching over the same pages/fixture as
     robots_disallow: longest matching rule wins, Allow wins ties —
@@ -2165,13 +2197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
     # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~25 of the r4-recorded list (pipeline_labels .. duplicated_spans)
+    # ~26 of the r4-recorded list (bloom_dedup .. duplicated_spans)
     # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
         "robots_allow_precedence": q_robots_allow_precedence,
+        "sitemap_urls": q_sitemap_urls,
         "dedup_keep_policy": q_dedup_keep_policy,
         "domain_quality": q_domain_quality,
         "crawl_delta": q_crawl_delta,
@@ -2222,11 +2255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "quality_funnel": q_quality_funnel,
         "line_dedup": q_line_dedup,
-        "bloom_dedup": q_bloom_dedup,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "bloom_dedup": q_bloom_dedup,
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2559,6 +2592,35 @@ def _robots_disallow_oracle_sql() -> str:
                AS n_kept
     FROM flagged GROUP BY domain ORDER BY domain
     """
+
+
+_SITEMAP_URLS_SQL = r"""
+WITH x AS (
+  SELECT doc_id,
+         '<?xml version="1.0"?><urlset><url><loc> https://' || source
+         || '.example/p?x=1&amp;y=' || CAST(doc_id % 9 AS VARCHAR)
+         || ' </loc></url>'
+         || (CASE WHEN doc_id % 4 = 0
+                  THEN '<url><loc>  </loc></url>' ELSE '' END)
+         || '<url><LOC>https://' || source || '.example/doc'
+         || CAST(doc_id AS VARCHAR) || '</LOC></url></urlset>' AS xml
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(xml, '(?i)<loc>([^<]*)</loc>', 1),
+           u -> replace(replace(replace(replace(replace(
+                  regexp_replace(u, '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g'),
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&apos;', ''''), '&amp;', '&')),
+           u -> u <> '') AS locs
+  FROM x
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, locs[i] AS loc
+FROM l, unnest(range(1, len(locs)+1)) t(i)
+ORDER BY doc_id, pos
+"""
 
 
 def _robots_allow_precedence_oracle_sql() -> str:
@@ -3972,6 +4034,7 @@ FROM documents WHERE doc_id % 20 = 0
         "robots_rules": _robots_rules_oracle_sql(),
         "robots_disallow": _robots_disallow_oracle_sql(),
         "robots_allow_precedence": _robots_allow_precedence_oracle_sql(),
+        "sitemap_urls": _SITEMAP_URLS_SQL,
         "dedup_keep_policy": _dedup_keep_policy_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,

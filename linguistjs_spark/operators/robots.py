@@ -322,6 +322,34 @@ def robots_sitemaps_col(txt: Column) -> Column:
     return F.filter(F.transform(hits, _directive_arg), lambda a: a != "")
 
 
+# XML entity decode for sitemap <loc> values: the five predefined XML
+# entities, &amp; LAST so '&amp;lt;' decodes to the literal '&lt;' (same
+# ordering discipline as operators/extract.py step 6).
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&")]
+_SM_TRIM = r"^[ \t\r\n]+|[ \t\r\n]+$"
+
+
+def sitemap_locs_col(xml: Column) -> Column:
+    """``array<string>`` of ``<loc>`` URLs from one sitemap or
+    sitemapindex body, in document order — the crawl-frontier step after
+    ``robots_sitemaps_col``. ONE regexp_extract_all scan (case-insensitive
+    tag match, explicit ASCII whitespace trim — never ``\\s``), then
+    literal entity decode per loc; empties dropped; NULL -> empty array.
+    No real XML parser on purpose: crawl sitemaps are routinely malformed,
+    and the <loc> scan is the part that survives tag soup."""
+    raw = F.regexp_extract_all(
+        F.coalesce(xml, F.lit("")), F.lit(r"(?i)<loc>([^<]*)</loc>"), 1)
+
+    def decode(u: Column) -> Column:
+        out = F.regexp_replace(u, _SM_TRIM, "")
+        for ent, ch in _XML_ENTITIES:
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return out
+
+    return F.filter(F.transform(raw, decode), lambda u: u != "")
+
+
 # ---------------------------------------------------------------------------
 # pure-Python twin (oracle/test reference, same spec — imperative form)
 # ---------------------------------------------------------------------------
@@ -391,6 +419,18 @@ def robots_blocked_precedence(
             else:
                 best_d = max(best_d, len(pfx))
     return best_d > best_a
+
+
+def parse_sitemap_locs(xml: str | None) -> list[str]:
+    """Imperative twin of ``sitemap_locs_col``."""
+    out = []
+    for m in _re.findall(r"(?i)<loc>([^<]*)</loc>", xml or ""):
+        u = _re.sub(_SM_TRIM, "", m)
+        for ent, ch in _XML_ENTITIES:
+            u = u.replace(ent, ch)
+        if u:
+            out.append(u)
+    return out
 
 
 _SM_RE = _re.compile(r"^sitemap[ \t]*:")

@@ -305,3 +305,32 @@ def test_allow_precedence_semantics(spark):
         for r in with_robots_blocked(pages, robots).collect()
     }
     assert got_cons["https://a.example/public/a"] is True
+
+
+def test_sitemap_locs_extraction(spark):
+    """<loc> scan survives tag soup: mixed-case tags, whitespace, all
+    five XML entities (&amp; decoded LAST), empty locs dropped, NULL
+    body, sitemapindex nesting."""
+    from linguistjs_spark.operators.robots import (
+        parse_sitemap_locs, sitemap_locs_col)
+
+    texts = [
+        '<?xml version="1.0"?><urlset><url><loc> https://a/x?a=1&amp;b=2 '
+        '</loc></url><url><LOC>https://a/y</LOC></url>'
+        '<url><loc></loc></url><url><loc>   </loc></url></urlset>',
+        '<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>'
+        '<sitemap><Loc>\nhttps://a/s2.xml\n</Loc></sitemap></sitemapindex>',
+        '<loc>&lt;odd&gt; &quot;q&quot; &apos;a&apos; &amp;lt;</loc>',
+        "no xml at all", "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, xml string")
+    got = {r["i"]: r["locs"] for r in df.select(
+        "i", sitemap_locs_col(F.col("xml")).alias("locs")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == parse_sitemap_locs(t), (i, t)
+    assert got[0] == ["https://a/x?a=1&b=2", "https://a/y"]
+    assert got[1] == ["https://a/s1.xml", "https://a/s2.xml"]
+    # &amp;lt; -> literal '&lt;' (decode order), quotes/apostrophes live
+    assert got[2] == ['<odd> "q" \'a\' &lt;']
+    assert got[3] == [] and got[4] == [] and got[5] == []
