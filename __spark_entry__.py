@@ -2488,7 +2488,10 @@ def _robots_fixture_values() -> str:
 # have no directive between them; a run's star = bool_or(arg='*'); each
 # Disallow line is governed by the latest preceding UA run. Produces
 # (domain, pos, rule) in file order.
-_ROBOTS_TRIM = "regexp_replace({x}, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')"
+# leading class eats a UTF-8 BOM too (mirrors robots._TRIM; the literal
+# BOM character rides inside the SQL string)
+_ROBOTS_TRIM = ("regexp_replace({x}, '^[﻿ \\t\\r]+|[ \\t\\r]+$', "
+                "'', 'g')")
 _ROBOTS_ARG = _ROBOTS_TRIM.format(x="regexp_replace(line, '^[^:]*:', '')")
 
 
@@ -2503,7 +2506,8 @@ rlines AS (
          unnest(list_transform(range(1, len(ls)+1),
                 i -> {{'idx': i, 'line': {clean}}}),
                 recursive := true)
-  FROM (SELECT domain, string_split_regex(txt, '\\r?\\n') AS ls FROM robots)
+  FROM (SELECT domain, string_split_regex(txt, '\\r\\n|\\r|\\n') AS ls
+        FROM robots)
 ),
 rtagged AS (
   SELECT domain, idx, line,
@@ -2559,7 +2563,9 @@ def _robots_disallow_oracle_sql() -> str:
            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
     tail = ("regexp_replace(regexp_replace(url, '#.*$', ''), "
             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')")
-    path = f"CASE WHEN {tail} = '' THEN '/' ELSE {tail} END"
+    path = (f"CASE WHEN {tail} = '' THEN '/' "
+            f"WHEN {tail} LIKE '?%' THEN '/' || {tail} "
+            f"ELSE {tail} END")
     # the SAME three-step wildcard translation as robots._rule_regex_col
     rule_rx = (
         r"regexp_replace(regexp_replace(regexp_replace(r, "
@@ -2631,7 +2637,9 @@ def _robots_allow_precedence_oracle_sql() -> str:
            "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
     tail = ("regexp_replace(regexp_replace(url, '#.*$', ''), "
             "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')")
-    path = f"CASE WHEN {tail} = '' THEN '/' ELSE {tail} END"
+    path = (f"CASE WHEN {tail} = '' THEN '/' "
+            f"WHEN {tail} LIKE '?%' THEN '/' || {tail} "
+            f"ELSE {tail} END")
     rule_rx = (
         r"regexp_replace(regexp_replace(regexp_replace(x.pfx, "
         r"'([.^$+?(){}\[\]|\\])', '\\\1', 'g'), "

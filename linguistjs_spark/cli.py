@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
                     "PATH is either a parquet table (url string, robots_txt "
                     "string) — one row per domain — or a single robots.txt "
                     "file applied to every input domain")
+    ap.add_argument("--robots-no-broadcast", action="store_true",
+                    help="join the --robots table on domain with a shuffle "
+                    "instead of a broadcast (for crawl-wide robots tables "
+                    "that exceed the broadcast limit)")
     ap.add_argument("--drop-noindex", action="store_true",
                     help="drop pages whose html declares robots-meta "
                          "noindex before any content rule")
@@ -204,9 +208,14 @@ def main(argv: list[str] | None = None) -> int:
                     print("error: --robots table missing column(s) "
                           + ", ".join(sorted(miss)), file=sys.stderr)
                     return 2
-                pages = filter_robots_disallowed(pages, robots)
+                pages = filter_robots_disallowed(
+                    pages, robots,
+                    broadcast_rules=not args.robots_no_broadcast)
             else:
-                with open(args.robots, encoding="utf-8",
+                # utf-8-sig: a BOM-prefixed robots.txt must not glue the
+                # BOM onto the first 'User-agent' line (the column parser
+                # trims BOMs itself; the file path decodes them away)
+                with open(args.robots, encoding="utf-8-sig",
                           errors="replace") as fh:
                     rules = parse_robots_disallow(fh.read())
                 if rules:

@@ -605,23 +605,28 @@ def cluster_representatives(
     operator implements the quality-aware one).
 
     Policy: the representative is the member with the LARGEST
-    ``quality_col`` (any numeric keep-worthiness signal — content bytes,
-    Gopher score, inverse perplexity); ties break to the SMALLEST id, so
-    the result is total and deterministic. With ``quality_col=None`` the
-    policy degenerates to min-id (== the ``doc_id == cluster_id`` rule
-    near_dup_clusters documents).
+    ``quality_col`` (any NUMERIC keep-worthiness signal — content bytes,
+    Gopher score, inverse perplexity); ties break to the SMALLEST id
+    (ids need only be orderable — string url/hash ids work), so the
+    result is total and deterministic. With ``quality_col=None`` the
+    policy degenerates to min-id. EITHER WAY only members present in
+    ``docs`` participate: cluster rows whose id is absent (clusters
+    computed on a superset snapshot) are ignored consistently in both
+    modes, so rep selection and ``n_members`` never disagree between
+    them (round-5 review finding).
 
     Returns (cluster_id, rep_id, n_members, rep_quality).
 
     Scale shape: one equi-join to attach the quality signal (docs side
     pruned to (id, quality) — text never moves), then ONE groupBy on
-    cluster_id where max_by/count both partial-aggregate: the boilerplate
+    cluster_id where min_by/count both partial-aggregate: the boilerplate
     mega-cluster every web crawl has (thousands of near-identical pages)
     collapses to one row per partition map-side, so cluster-size skew
     never concentrates on a reducer. No window, no sort, no second pass.
     """
     if quality_col is None:
-        return clusters.groupBy(cluster_col).agg(
+        members = clusters.join(docs.select(id_col), id_col)
+        return members.groupBy(cluster_col).agg(
             F.min(id_col).alias("rep_id"),
             F.count("*").alias("n_members"),
             F.lit(None).cast("double").alias("rep_quality"),
@@ -629,13 +634,14 @@ def cluster_representatives(
     q = F.col("_q").cast("double")
     members = clusters.join(
         docs.select(F.col(id_col), F.col(quality_col).alias("_q")), id_col)
-    # max_by over (quality, -id): max quality first, then min id — one
-    # struct comparison, still a partial-aggregating max
-    key = F.struct(q.alias("q"), (-F.col(id_col)).alias("negid"))
+    # min_by over (-quality, id): max quality first, then min id — one
+    # struct comparison that needs no arithmetic on the id (string ids
+    # stay orderable), still a partial-aggregating extremum
+    key = F.struct((-q).alias("nq"), F.col(id_col).alias("i"))
     return members.groupBy(cluster_col).agg(
-        F.max_by(F.col(id_col), key).alias("rep_id"),
+        F.min_by(F.col(id_col), key).alias("rep_id"),
         F.count("*").alias("n_members"),
-        F.max_by(q, key).alias("rep_quality"),
+        F.max(q).alias("rep_quality"),
     )
 
 

@@ -10,8 +10,9 @@ path gating happens before classification, /root/reference/src/index.ts:
 
 Parsing semantics (RFC 9309 subset, deterministic, documented honestly):
 
-* Lines are split on ``\\r?\\n``; ``#`` starts a comment (stripped to end
-  of line); surrounding ASCII blanks are trimmed.
+* Lines are split on CRLF / bare CR / bare LF; ``#`` starts a comment
+  (stripped to end of line); surrounding ASCII blanks — and a leading
+  UTF-8 BOM — are trimmed.
 * A *group* is introduced by one or more consecutive ``User-agent:``
   lines (blank/comment-only lines between them do NOT split the run; any
   other directive does — the next ``User-agent`` line after a directive
@@ -76,8 +77,14 @@ from pyspark.sql import functions as F
 from .url_ops import _TAIL_PAT, domain_col
 
 # ASCII-blank trim (explicit class, never \s — Java/Python/RE2 disagree
-# on \s membership, ADVICE r01) applied AFTER comment stripping.
-_TRIM = r"^[ \t\r]+|[ \t\r]+$"
+# on \s membership, ADVICE r01) applied AFTER comment stripping. The
+# leading class also eats a UTF-8 BOM: BOM-prefixed robots.txt files are
+# common in the wild, and an unstripped BOM glues to 'User-agent' and
+# silently parses the whole file to zero rules (round-5 review finding).
+_TRIM = "^[\ufeff \t\r]+|[ \t\r]+$"
+# RFC 9309 line terminators: CRLF, bare CR, bare LF (a CR-only body must
+# not collapse to one garbage line — round-5 review finding)
+_LINE_SPLIT = r"\r\n|\r|\n"
 _UA_PAT = r"^user-agent[ \t]*:"
 _DIS_PAT = r"^disallow[ \t]*:"
 _ALW_PAT = r"^allow[ \t]*:"
@@ -101,7 +108,7 @@ def robots_group_rules_col(txt: Column) -> Column:
     ``robots_blocked_precedence_col`` for full RFC longest-match
     semantics, or strip to the Disallow subset for the conservative
     default."""
-    lines = F.split(F.coalesce(txt, F.lit("")), r"\r?\n")
+    lines = F.split(F.coalesce(txt, F.lit("")), _LINE_SPLIT)
     empty = F.array().cast("array<struct<pfx:string,allow:boolean>>")
     init = F.struct(
         F.lit(False).alias("star"),
@@ -238,11 +245,17 @@ def robots_group_rules_table(
 
 
 def url_path_col(url: Column) -> Column:
-    """Path + query ('' fragment already stripped here), '/' for a bare
-    host — the robots matching target per RFC 9309 §2.2.2."""
+    """Path + query (fragment already stripped here), '/' for a bare
+    host — the robots matching target per RFC 9309 §2.2.2. A URL with an
+    empty path but a query ('https://h?q=1') matches as '/?q=1', so
+    'Disallow: /' covers it (round-5 review finding)."""
     tail = F.regexp_replace(
         F.regexp_replace(url, r"#.*$", ""), _TAIL_PAT, "")
-    return F.when(tail == "", F.lit("/")).otherwise(tail)
+    return (
+        F.when(tail == "", F.lit("/"))
+        .when(tail.startswith("?"), F.concat(F.lit("/"), tail))
+        .otherwise(tail)
+    )
 
 
 def with_robots_blocked(
@@ -274,6 +287,14 @@ def with_robots_blocked(
     else:
         rules = robots_rules_table(robots, robots_url_col, robots_text_col)
         empty = F.array().cast("array<string>")
+    # collapse duplicate robots rows per domain (recrawled robots files
+    # are routine; without this the left join fans every surviving page
+    # out once per duplicate row — round-5 review finding). Union of all
+    # captures' rules: order across captures is not defined, which is
+    # harmless because neither matcher is order-sensitive (exists / max
+    # fold) — and strictly conservative for the any-match default.
+    rules = rules.groupBy("domain").agg(
+        F.flatten(F.collect_list("rules")).alias("rules"))
     if broadcast_rules:
         rules = F.broadcast(rules)
     path = url_path_col(F.col(url_col))
@@ -316,7 +337,7 @@ def robots_sitemaps_col(txt: Column) -> Column:
     group-scoped — it applies wherever it appears — so this is a plain
     filter+transform over the split lines, no state machine. Empty
     values are dropped; NULL text -> empty array."""
-    lines = F.split(F.coalesce(txt, F.lit("")), r"\r?\n")
+    lines = F.split(F.coalesce(txt, F.lit("")), _LINE_SPLIT)
     cleaned = F.transform(lines, _clean_line)
     hits = F.filter(cleaned, lambda l: F.lower(l).rlike(r"^sitemap[ \t]*:"))
     return F.filter(F.transform(hits, _directive_arg), lambda a: a != "")
@@ -367,7 +388,7 @@ def parse_robots_group(txt: str | None) -> list[tuple[str, bool]]:
     """Imperative twin of ``robots_group_rules_col``: (pfx, allow)
     pairs in file order (pinned in tests/test_robots.py)."""
     star, ruled, rules = False, True, []
-    for raw in _re.split(r"\r?\n", txt or ""):
+    for raw in _re.split(_LINE_SPLIT, txt or ""):
         line = _re.sub(_TRIM, "", _re.sub(r"#.*$", "", raw))
         low = line.lower()
         arg = _re.sub(_TRIM, "", _re.sub(r"^[^:]*:", "", line))
@@ -439,7 +460,7 @@ _SM_RE = _re.compile(r"^sitemap[ \t]*:")
 def parse_robots_sitemaps(txt: str | None) -> list[str]:
     """Imperative twin of ``robots_sitemaps_col``."""
     out = []
-    for raw in _re.split(r"\r?\n", txt or ""):
+    for raw in _re.split(_LINE_SPLIT, txt or ""):
         line = _re.sub(_TRIM, "", _re.sub(r"#.*$", "", raw))
         if _SM_RE.match(line.lower()):
             arg = _re.sub(_TRIM, "", _re.sub(r"^[^:]*:", "", line))

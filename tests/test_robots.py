@@ -165,9 +165,13 @@ def test_plan_broadcast_no_page_shuffle(spark, pages_and_robots):
     plan = with_robots_blocked(pages, robots)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # the pages side must not shuffle for the join (only the broadcast
-    # exchange of the tiny rules table is allowed)
-    assert "Exchange hashpartitioning" not in plan
+    # the PAGES side must never shuffle for the join: the only permitted
+    # hash exchange is the rules table's per-domain duplicate collapse
+    # (KiB-sized), which must not carry any pages column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "domain#" in line and "url#" not in line \
+                and "doc_id#" not in line, line
 
 
 def test_rules_table_and_twin_match_helper():
@@ -334,3 +338,69 @@ def test_sitemap_locs_extraction(spark):
     # &amp;lt; -> literal '&lt;' (decode order), quotes/apostrophes live
     assert got[2] == ['<odd> "q" \'a\' &lt;']
     assert got[3] == [] and got[4] == [] and got[5] == []
+
+
+def test_review_findings_regressions(spark):
+    """Round-5 review fixes: BOM-prefixed bodies parse; CR-only line
+    endings parse; query-only URLs match as '/?query'; duplicate robots
+    rows per domain do not fan pages out."""
+    from linguistjs_spark.operators.robots import (
+        robots_disallow_rules_col as rules_col)
+
+    bodies = [
+        "﻿User-agent: *\nDisallow: /x",       # BOM
+        "User-agent: *\rDisallow: /a\rDisallow: /b",  # bare-CR endings
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bodies)], "i int, txt string")
+    got = {r["i"]: r["rules"]
+           for r in df.select("i", rules_col(F.col("txt")).alias("rules"))
+           .collect()}
+    assert got[0] == parse_robots_disallow(bodies[0]) == ["/x"]
+    assert got[1] == parse_robots_disallow(bodies[1]) == ["/a", "/b"]
+
+    # query-only URL: 'Disallow: /' must cover https://h?q=1
+    paths = [r[0] for r in spark.createDataFrame(
+        [("https://a.example?q=1",)], "url string"
+    ).select(url_path_col(F.col("url"))).collect()]
+    assert paths == ["/?q=1"]
+    pages = spark.createDataFrame(
+        [(1, "https://a.example?q=1"), (2, "https://a.example/ok")],
+        "doc_id int, url string")
+    robots = spark.createDataFrame(
+        [("https://a.example/robots.txt", "User-agent: *\nDisallow: /?q"),
+         # duplicate capture of the same domain: no fan-out, rules union
+         ("https://a.example/robots.txt", "User-agent: *\nDisallow: /zz")],
+        "url string, robots_txt string")
+    out = with_robots_blocked(pages, robots)
+    rows = out.collect()
+    assert len(rows) == 2, rows  # no duplicate-row fan-out
+    got2 = {r["doc_id"]: r["robots_blocked"] for r in rows}
+    assert got2 == {1: True, 2: False}
+
+
+def test_cluster_representatives_string_ids_and_missing_members(spark):
+    """Round-5 review fixes: string ids order correctly on quality ties;
+    members absent from docs are ignored consistently in both modes."""
+    from linguistjs_spark.operators.dedup import (
+        cluster_representatives, dedup_survivors)
+
+    clusters = spark.createDataFrame(
+        [("u-b", "c1"), ("u-a", "c1"), ("u-z", "c2"), ("u-gone", "c2")],
+        "doc_id string, cluster_id string")
+    docs = spark.createDataFrame(  # u-gone absent
+        [("u-a", 5.0), ("u-b", 5.0), ("u-z", 1.0)],
+        "doc_id string, qual double")
+    got = {r.cluster_id: (r.rep_id, r.n_members)
+           for r in cluster_representatives(
+               clusters, docs, quality_col="qual").collect()}
+    # tie at 5.0 -> lexicographically smallest string id
+    assert got == {"c1": ("u-a", 2), "c2": ("u-z", 1)}
+    got_min = {r.cluster_id: (r.rep_id, r.n_members)
+               for r in cluster_representatives(clusters, docs).collect()}
+    # min-id mode now also ignores the absent member (modes agree)
+    assert got_min == {"c1": ("u-a", 2), "c2": ("u-z", 1)}
+    # survivors: no document vanishes because a missing id was picked
+    kept = sorted(r.doc_id for r in dedup_survivors(
+        docs, clusters).collect())
+    assert kept == ["u-a", "u-z"]
