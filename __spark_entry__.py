@@ -35,6 +35,7 @@ from linguistjs_spark.operators.quality import quality_drop_reason_col, quality_
 from linguistjs_spark.operators.scrub import scrubbed_col
 from linguistjs_spark.operators.multimodal import extract_media_features, synthetic_media_df
 from linguistjs_spark.operators import extract as EX
+from linguistjs_spark.operators import boilerplate as BP
 from linguistjs_spark.operators import decontam as DCN
 
 # pipeline config used for oracle-checked cascade queries: pure reference
@@ -1130,6 +1131,30 @@ def q_html_extract(spark, sf_dir):
         "doc_id",
         F.length("ext").alias("ext_len"),
         F.md5(F.col("ext").cast("binary")).alias("ext_md5"),
+    )
+
+
+def q_boilerplate_stats(spark, sf_dir):
+    # jusText-style boilerplate-paragraph classification (Pomikalek 2011
+    # defaults; spec in operators/boilerplate.py). Pages are synthesized
+    # deterministically from documents.text with link-rich nav/footer
+    # boilerplate plus a stopword-rich body, so every label class and both
+    # context-pass outcomes occur in the fixture. The oracle recomputes
+    # with the pure-python twin (pinned against the Spark chain in
+    # tests/test_boilerplate.py) and compares fragment counts plus the md5
+    # of the boilerplate-stripped content — byte-identity per document.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        BP.synth_linked_html_col(F.col("doc_id"), F.col("text")).alias("html"),
+    )
+    out = BP.with_boilerplate(pages)
+    return out.select(
+        "doc_id",
+        F.col("bp_n_frags").alias("n_frags"),
+        F.col("bp_n_good").alias("n_good"),
+        F.length("bp_content").alias("content_len"),
+        F.md5(F.col("bp_content").cast("binary")).alias("content_md5"),
     )
 
 
@@ -2285,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "lang_mismatch": q_lang_mismatch,
         "duplicated_spans": q_duplicated_spans,
+        "boilerplate_stats": q_boilerplate_stats,
     }
 
 
@@ -3135,6 +3161,49 @@ JOIN sampled s USING (doc_id)
 WHERE w.doc_id NOT IN (SELECT doc_id FROM contaminated)
 GROUP BY w.lang
 """
+
+
+def _boilerplate_oracle_sql() -> str:
+    # Twin-VALUES oracle (html_extract pattern): the pure-python twin —
+    # pinned against the Spark column chain in tests/test_boilerplate.py —
+    # recomputes the synthesized page, fragment labels, and the
+    # boilerplate-stripped content per document; md5 over the content's
+    # UTF-8 bytes makes the compare byte-exact.
+    import hashlib
+
+    import duckdb
+
+    from linguistjs_spark.operators.boilerplate import (
+        classify_fragments,
+        synth_linked_html,
+    )
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vals = []
+    for doc_id, text in rows:
+        frags = classify_fragments(synth_linked_html(doc_id, text))
+        c = "\n".join(t for lab, t in frags if lab == "good")
+        vals.append((
+            doc_id,
+            len(frags),
+            sum(1 for lab, _ in frags if lab == "good"),
+            len(c),
+            hashlib.md5(c.encode("utf-8")).hexdigest(),
+        ))
+    return _values_sql(
+        vals,
+        "SELECT CAST(d AS BIGINT) AS doc_id, CAST(f AS INT) AS n_frags, "
+        "CAST(g AS INT) AS n_good, CAST(l AS INT) AS content_len, "
+        "m AS content_md5 FROM (VALUES {values}) t(d, f, g, l, m)",
+        "SELECT CAST(NULL AS BIGINT) doc_id, CAST(NULL AS INT) n_frags, "
+        "CAST(NULL AS INT) n_good, CAST(NULL AS INT) content_len, "
+        "CAST(NULL AS VARCHAR) content_md5 WHERE FALSE",
+    )
 
 
 def _html_extract_oracle_sql() -> str:
@@ -4003,6 +4072,7 @@ FROM p GROUP BY bucket
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
+        "boilerplate_stats": _boilerplate_oracle_sql(),
         "stratified_sample": _stratified_sample_oracle_sql(),
         "training_mix": _training_mix_oracle_sql(),
         "ccnet_buckets": _ccnet_buckets_oracle_sql(),
