@@ -2203,6 +2203,40 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def _demo_quality_model_path() -> str:
+    """Build (once per process) the deterministic demo classifier .bin —
+    written through the real fastText format writer so the registry query
+    exercises the binary round-trip, not just the logit math."""
+    import tempfile
+
+    from linguistjs_spark.operators.model_filter import (
+        build_demo_quality_model)
+
+    path = _os.path.join(tempfile.gettempdir(),
+                         "linguistjs_spark_demo_quality.bin")
+    if not _os.path.exists(path):
+        build_demo_quality_model(path)
+    return path
+
+
+def q_model_quality(spark, sf_dir):
+    """Model-based quality filter (DCLM/CCNet tier): score every doc with
+    a supervised fastText classifier recast as a broadcast word-logit join
+    + one groupBy (operators/model_filter.py — the linearity collapse),
+    keep at P(hq) >= 0.6 via the exact logit margin. Word logits are
+    quantized to 2^-20 dyadics, so the distributed sums are bit-identical
+    to the DuckDB restatement regardless of aggregation order."""
+    from linguistjs_spark.fasttext_bin import load_model
+    from linguistjs_spark.operators.model_filter import (
+        logit_dim_df, model_quality_filter)
+
+    model = load_model(_demo_quality_model_path())
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return model_quality_filter(
+        docs, logit_dim_df(spark, model), min_prob=0.6
+    ).select("doc_id", "n_toks", "margin", "keep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the round driver records CORRECTNESS
     # rows for the FIRST 50 entries only; every entry is equally
@@ -2226,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fall past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
+        "model_quality": q_model_quality,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
         "robots_allow_precedence": q_robots_allow_precedence,
@@ -3770,8 +3805,50 @@ WITH corpus AS ({src}
 )"""
 
 
+def _model_quality_oracle_sql() -> str:
+    """Full SQL restatement (NOT a twin pin): the quantized word-logit
+    table is emitted as VALUES and DuckDB re-runs the tokenize/join/
+    aggregate itself. Bit-equality holds because the logits are 2^-20
+    dyadics (order-free exact sums) and the margin is computed with the
+    identical (s0/n) - (s1/n) operation order on both engines."""
+    from linguistjs_spark.fasttext_bin import load_model
+    from linguistjs_spark.operators.model_filter import (
+        FASTTEXT_WS_RE, margin_threshold, word_logit_rows)
+
+    model = load_model(_demo_quality_model_path())
+    rows = word_logit_rows(model)
+    vals = ", ".join(
+        f"({w!r}, {l[0]!r}, {l[1]!r})" for w, l in rows
+    )
+    thr = repr(margin_threshold(0.6))
+    return f"""
+WITH L(word, l0, l1) AS (VALUES {vals}),
+t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '{FASTTEXT_WS_RE}'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+m AS (
+  SELECT t.doc_id, count(L.word) AS n_toks,
+         sum(L.l0) AS s0, sum(L.l1) AS s1
+  FROM t LEFT JOIN L USING (word)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(m.n_toks, 0) AS BIGINT) AS n_toks,
+       CASE WHEN m.n_toks > 0
+            THEN (m.s0 / m.n_toks) - (m.s1 / m.n_toks) END AS margin,
+       COALESCE(m.n_toks > 0 AND
+                ((m.s0 / m.n_toks) - (m.s1 / m.n_toks)) >= {thr},
+                FALSE) AS keep
+FROM documents d LEFT JOIN m USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "model_quality": _model_quality_oracle_sql(),
         "lang_bytes_rollup": (
             "SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS bytes, "
             "COUNT(*) AS n_docs FROM documents GROUP BY lang"

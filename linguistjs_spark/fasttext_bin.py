@@ -127,6 +127,24 @@ class FastTextBinModel:
         self._input = input_mat
         self._output = output_mat
 
+    # Read-only views for operators that recast inference as DataFrame
+    # algebra (operators/model_filter.py) rather than per-row predict().
+    @property
+    def word_ids(self) -> dict[str, int]:
+        return self._word_ids
+
+    @property
+    def labels(self) -> list[str]:
+        return self._labels
+
+    @property
+    def input_matrix(self) -> np.ndarray:
+        return self._input
+
+    @property
+    def output_matrix(self) -> np.ndarray:
+        return self._output
+
     def predict(self, text: str, k: int = 1):
         ids = [
             self._word_ids[t]

@@ -1,0 +1,247 @@
+"""Model-based quality filtering (DCLM / FineWeb-Edu style) as DataFrame
+algebra over a supervised fastText classifier.
+
+Modern web-text pipelines follow the heuristic keep/drop tier with a
+*model-scored* tier: a cheap supervised classifier (fastText in CCNet,
+DCLM-baseline, and FineWeb-Edu's distilled scorer) assigns each document
+a quality probability, and the corpus keeps docs above a threshold or the
+top fraction. The reference's cascade ends at heuristics
+(`/root/reference/src/index.ts:327` resolves purely rule-based); this
+operator adds the model tier the 100-TB pipeline needs on top of it.
+
+Spark-first recast — NO per-row Python anywhere:
+
+Supervised fastText scores a doc as ``softmax(O @ mean(I[tokens]))``
+(facebookresearch/fastText ``src/model.cc::predict``). By linearity,
+``O @ mean(I[t]) == mean(O @ I[t])`` — so the whole model collapses to a
+per-WORD logit table ``L[w] = O @ I[w]`` (k doubles per vocab word,
+computed once on the driver), and per-document inference becomes:
+
+    tokens(url, word)  JOIN  broadcast(L)  GROUP BY url -> avg per label
+
+one broadcast hash join plus one map-side-combined groupBy — the textbook
+shape for a million-word vocab against 10^12 docs, where a codegen map
+literal or a python-worker dictionary would not survive.
+
+Determinism contract: the builder quantizes every logit to a multiple of
+2^-20 and clamps to ±2^6.  Sums of such dyadic rationals are EXACT in
+float64 for up to 2^27 in-vocab tokens per document (magnitude bound
+2^27·2^6 = 2^33; 33+20 = 53 mantissa bits), so Spark's order-free partial
+aggregation, the DuckDB oracle, and the python twin all produce
+bit-identical sums; the mean (one IEEE division) and the logit margin are
+then deterministic too.  The softmax probability is exposed for users but
+the keep decision is made on the (exact) logit margin — for a 2-label
+model ``P(hq) >= tau  <=>  margin >= ln(tau/(1-tau))``.
+
+Tokenization follows fastText's ``Dictionary::readWord`` delimiter set
+(space \\n \\t \\v \\f \\r NUL — ``src/dictionary.cc``); out-of-vocabulary
+tokens score nothing, and a document with NO in-vocabulary token gets a
+NULL score (the package's predict() returns empty on OOV-only input) and
+is dropped by the filter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fasttext_bin import FastTextBinModel
+
+# fastText Dictionary::readWord delimiters, as a regex char class given to
+# BOTH engines in escaped-text form (Java regex and RE2 read \n \t \x0B \f
+# \r \x00 identically; a raw NUL byte inside a SQL literal would not
+# survive the oracle round-trip).
+FASTTEXT_WS_RE = r"[ \n\t\x0B\f\r\x00]+"
+
+_QUANTUM_BITS = 20
+_CLAMP = float(2 ** 6)
+
+
+def word_logit_rows(model: FastTextBinModel,
+                    quantum_bits: int = _QUANTUM_BITS) -> list[tuple]:
+    """Collapse a supervised model to ``[(word, [l_0..l_{k-1}]), ...]``.
+
+    ``l_w = output @ input[w]`` in float64, quantized to 2^-quantum_bits
+    and clamped to ±2^6 (see module docstring for the exactness bound).
+    Driver-side and O(vocab · k) — the vocab table is the broadcast dim.
+    """
+    q = float(2 ** quantum_bits)
+    inp = model.input_matrix.astype(np.float64)
+    out = model.output_matrix.astype(np.float64)
+    logits = inp @ out.T  # (nwords, k)
+    logits = np.clip(np.round(logits * q) / q, -_CLAMP, _CLAMP)
+    words = sorted(model.word_ids, key=model.word_ids.get)
+    return [(w, [float(x) for x in logits[i]]) for i, w in enumerate(words)]
+
+
+def logit_dim_df(spark: SparkSession, model: FastTextBinModel) -> DataFrame:
+    """The per-word logit table as a broadcastable dimension DataFrame."""
+    rows = word_logit_rows(model)
+    return spark.createDataFrame(rows, "word string, l array<double>")
+
+
+def tokens_col(text: Column) -> Column:
+    """fastText-delimited token array (empties removed)."""
+    return F.filter(F.split(text, FASTTEXT_WS_RE), lambda x: x != F.lit(""))
+
+
+def model_logit_means(docs: DataFrame, logit_df: DataFrame, n_labels: int,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Exact per-document mean logits.
+
+    Returns one row per input doc: ``(id_col, n_toks, m_0 .. m_{k-1})``;
+    ``n_toks`` counts in-vocabulary tokens, NULL means (and n_toks = 0)
+    for docs with none.  Plan: scan -> explode_outer (so empty/NULL-text
+    docs keep a row and no join-back is needed) -> left
+    BroadcastHashJoin against the vocab dim -> partial+final
+    HashAggregate on the doc id.  ONE shuffle, zero extra joins, all
+    codegen.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode_outer(tokens_col(F.col(text_col))).alias("word"),
+    )
+    j = toks.join(F.broadcast(logit_df), "word", "left")
+    n = F.count(F.col("l"))  # non-null = in-vocabulary
+    aggs = [n.alias("n_toks")] + [
+        F.when(n > 0, F.sum(F.col("l")[i]) / n).alias(f"m{i}")
+        for i in range(n_labels)
+    ]
+    return j.groupBy(id_col).agg(*aggs)
+
+
+def model_quality_scores(docs: DataFrame, logit_df: DataFrame,
+                         labels: list[str], id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Mean logits + softmax probability per label + argmax label.
+
+    Adds ``p_0..p_{k-1}`` (softmax of the mean logits) and ``mq_label``
+    (highest-probability label; ties broken by label order, matching
+    ``FastTextBinModel.predict``'s stable argsort).
+    """
+    k = len(labels)
+    df = model_logit_means(docs, logit_df, k, id_col, text_col)
+    mx = F.greatest(*[F.col(f"m{i}") for i in range(k)]) if k > 1 else F.col("m0")
+    exps = [F.exp(F.col(f"m{i}") - mx) for i in range(k)]
+    tot = exps[0]
+    for e in exps[1:]:
+        tot = tot + e
+    for i in range(k):
+        df = df.withColumn(f"p{i}", exps[i] / tot)
+    arr = F.array(*[F.col(f"m{i}") for i in range(k)])
+    best = F.array_position(arr, F.array_max(arr))  # 1-based, first max
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    df = df.withColumn(
+        "mq_label",
+        F.when(F.col("n_toks") > 0, F.element_at(label_arr, best.cast("int"))),
+    )
+    return df
+
+
+def margin_threshold(min_prob: float) -> float:
+    """Probability threshold -> exact logit-margin threshold (2 labels)."""
+    if not 0.0 < min_prob < 1.0:
+        raise ValueError("min_prob must be in (0, 1)")
+    return math.log(min_prob / (1.0 - min_prob))
+
+
+def model_quality_filter(docs: DataFrame, logit_df: DataFrame,
+                         min_prob: float = 0.5, positive_index: int = 0,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Keep/drop on the 2-label margin (exact; see module docstring).
+
+    Returns ``(id_col, n_toks, margin, keep)``; OOV-only docs get a NULL
+    margin and ``keep = false`` (fastText predicts nothing for them).
+    """
+    df = model_logit_means(docs, logit_df, 2, id_col, text_col)
+    pos, neg = (0, 1) if positive_index == 0 else (1, 0)
+    margin = F.col(f"m{pos}") - F.col(f"m{neg}")
+    thr = margin_threshold(min_prob)
+    return df.select(
+        id_col,
+        "n_toks",
+        margin.alias("margin"),
+        F.when(F.col("n_toks") > 0, margin >= F.lit(thr))
+        .otherwise(F.lit(False)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# python twin (oracle / parity)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_WS_SPLIT = _re.compile(FASTTEXT_WS_RE)
+
+
+def logit_means_local(logit_rows: list[tuple], text: str | None,
+                      n_labels: int) -> tuple[int, list[float] | None]:
+    """Row-wise twin of :func:`model_logit_means` — same quantized table,
+    same IEEE doubles, so results are bit-identical (sums are exact)."""
+    table = {w: l for w, l in logit_rows}
+    toks = [t for t in _WS_SPLIT.split(text or "") if t and t in table]
+    if not toks:
+        return 0, None
+    sums = [0.0] * n_labels
+    for t in toks:
+        lw = table[t]
+        for i in range(n_labels):
+            sums[i] += lw[i]
+    return len(toks), [s / len(toks) for s in sums]
+
+
+# ---------------------------------------------------------------------------
+# deterministic demo model (fixture; real deployments load a trained .bin)
+# ---------------------------------------------------------------------------
+
+_HQ_WORDS = [
+    "the", "and", "for", "with", "that", "this", "from", "have", "are",
+    "was", "were", "which", "their", "about", "would", "could", "there",
+    "been", "than", "into", "because", "between", "through", "however",
+    "research", "science", "history", "analysis", "evidence", "article",
+    "chapter", "theory", "author", "published", "university", "study",
+]
+_LQ_WORDS = [
+    "click", "free", "buy", "cheap", "viagra", "casino", "winner",
+    "subscribe", "discount", "offer", "deal", "sale", "limited", "bonus",
+    "jackpot", "loan", "pills", "download", "xxx", "prize",
+]
+
+
+def _word_weight(word: str) -> float:
+    """Deterministic pseudo-random weight in [0.5, 1.5) from the word's
+    md5 — gives the demo model varied, reproducible logits."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.md5(word.encode()).digest()[:4], "big")
+    return 0.5 + (h % 1024) / 1024.0
+
+
+def build_demo_quality_model(path: str) -> None:
+    """Write a deterministic 2-label supervised ``.bin`` through the real
+    format writer (``fasttext_bin.save_supervised_model``), so the demo
+    path exercises the binary round-trip end to end.
+
+    dim = 2 with an identity output matrix, so each word's input vector
+    IS its (hq, lq) logit pair: quality words pull toward ``__label__hq``,
+    spam words toward ``__label__lq``.
+    """
+    from ..fasttext_bin import save_supervised_model
+
+    words = list(_HQ_WORDS) + list(_LQ_WORDS)
+    rows = []
+    for w in _HQ_WORDS:
+        rows.append([_word_weight(w), -_word_weight(w + "#")])
+    for w in _LQ_WORDS:
+        rows.append([-_word_weight(w), _word_weight(w + "#")])
+    inp = np.array(rows, dtype=np.float32)
+    out = np.eye(2, dtype=np.float32)
+    save_supervised_model(
+        path, words, ["__label__hq", "__label__lq"], inp, out
+    )
