@@ -2237,6 +2237,39 @@ def q_model_quality(spark, sf_dir):
     ).select("doc_id", "n_toks", "margin", "keep")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary learning (operators/bpe.py): the first
+    12 merges learned from the corpus word-count table — one corpus-sized
+    shuffle, then every iteration runs over the distinct-word table only
+    (tiny pair-count shuffle + one bounded argmax collect + a zero-shuffle
+    merge fold). Integer counts with a UTF-8-binary tie-break make the
+    merge sequence fully deterministic."""
+    from linguistjs_spark.operators.bpe import learn_bpe, word_count_table
+
+    docs = _docs(spark, sf_dir).select("text")
+    merges, _ = learn_bpe(word_count_table(docs), num_merges=12)
+    return spark.createDataFrame(
+        [(int(r), a, b, int(n)) for r, a, b, n in merges],
+        "rank long, left string, right string, pair_count long",
+    )
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Corpus token frequencies under the learned BPE segmentation —
+    the encode path runs over the DISTINCT-word table (each unique word
+    segmented once, weighted by its count); top 40 tokens."""
+    from linguistjs_spark.operators.bpe import (
+        bpe_token_counts, learn_bpe, word_count_table)
+
+    docs = _docs(spark, sf_dir).select("text")
+    merges, _ = learn_bpe(word_count_table(docs), num_merges=12)
+    return (
+        bpe_token_counts(docs, merges)
+        .orderBy(F.desc("n"), "token")
+        .limit(40)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the round driver records CORRECTNESS
     # rows for the FIRST 50 entries only; every entry is equally
@@ -2261,6 +2294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
         "robots_allow_precedence": q_robots_allow_precedence,
@@ -3846,9 +3881,70 @@ FROM documents d LEFT JOIN m USING (doc_id)
 """
 
 
+def _sql_str(s: str) -> str:
+    """SQL string literal (repr() is wrong for strings containing quotes:
+    python may emit double-quoted forms DuckDB reads as identifiers)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_twin(num_merges: int = 12):
+    """Shared twin run for the BPE oracles: word counts + merges learned
+    locally (independent reimplementation, pinned bit-for-bit against the
+    Spark fold in tests/test_bpe.py) over the oracle SF's documents."""
+    import duckdb
+
+    from linguistjs_spark.operators.bpe import (
+        learn_bpe_local, word_counts_local)
+
+    con = duckdb.connect()
+    texts = [
+        r[0] for r in con.sql(
+            "SELECT text FROM "
+            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    wc = word_counts_local(texts)
+    merges, _ = learn_bpe_local(wc, num_merges=num_merges)
+    return wc, merges
+
+
+def _bpe_merges_oracle_sql() -> str:
+    _, merges = _bpe_twin()
+    vals = ", ".join(
+        f"({r}, {_sql_str(a)}, {_sql_str(b)}, {n})"
+        for r, a, b, n in merges
+    )
+    if not merges:
+        return ("SELECT CAST(NULL AS BIGINT) rank, CAST(NULL AS VARCHAR) "
+                "\"left\", CAST(NULL AS VARCHAR) \"right\", CAST(NULL AS "
+                "BIGINT) pair_count WHERE FALSE")
+    return (
+        "SELECT CAST(r AS BIGINT) AS rank, a AS \"left\", b AS \"right\", "
+        f"CAST(n AS BIGINT) AS pair_count FROM (VALUES {vals}) t(r, a, b, n)"
+    )
+
+
+def _bpe_token_counts_oracle_sql() -> str:
+    from linguistjs_spark.operators.bpe import token_counts_local
+
+    wc, merges = _bpe_twin()
+    counts = token_counts_local(wc, merges)
+    top = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0].encode("utf-8"))
+    )[:40]
+    vals = ", ".join(f"({_sql_str(t)}, {n})" for t, n in top)
+    return (
+        "SELECT tok AS token, CAST(n AS BIGINT) AS n "
+        f"FROM (VALUES {vals}) t(tok, n)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "model_quality": _model_quality_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "lang_bytes_rollup": (
             "SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS bytes, "
             "COUNT(*) AS n_docs FROM documents GROUP BY lang"
