@@ -2237,6 +2237,22 @@ def q_model_quality(spark, sf_dir):
     ).select("doc_id", "n_toks", "margin", "keep")
 
 
+def q_crawl_politeness(spark, sf_dir):
+    """Crawl-frontier politeness scheduling (url_ops.politeness_schedule):
+    deal each host's URLs into fetch batches of <= 7, ranked by priority
+    desc then URL asc — ONE window shuffle partitioned by host. The messy
+    crawl-URL fixture exercises the host extraction (mixed-case hosts,
+    :443 ports collapse to one lowercased domain)."""
+    from linguistjs_spark.operators.url_ops import politeness_schedule
+
+    frontier = _messy_urls(spark, sf_dir).select(
+        "doc_id", "url", (F.col("doc_id") % 5).cast("int").alias("prio")
+    )
+    return politeness_schedule(
+        frontier, per_host_per_batch=7, priority_col="prio"
+    ).select("doc_id", "host", "batch", "slot")
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE vocabulary learning (operators/bpe.py): the first
     12 merges learned from the corpus word-count table — one corpus-sized
@@ -2288,14 +2304,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); the last
-    # ~26 of the r4-recorded list (bloom_dedup .. duplicated_spans)
-    # fall past the cap this round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 13
+    # group-(1) entries the cap lands after langid_dist, so the r4-recorded
+    # tail (gopher_quality .. duplicated_spans) falls past the cap this
+    # round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "crawl_politeness": q_crawl_politeness,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
         "robots_allow_precedence": q_robots_allow_precedence,
@@ -2346,14 +2364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "ann_topk": q_ann_topk,
         "langid_dist": q_langid_dist,
-        "gopher_quality": q_gopher_quality,
-        "gopher_repetition": q_gopher_repetition,
-        "quality_funnel": q_quality_funnel,
-        "line_dedup": q_line_dedup,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "gopher_quality": q_gopher_quality,
+        "gopher_repetition": q_gopher_repetition,
+        "quality_funnel": q_quality_funnel,
+        "line_dedup": q_line_dedup,
         "bloom_dedup": q_bloom_dedup,
         "pipeline_labels": q_pipeline_labels,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -3945,6 +3963,22 @@ def oracle_sql() -> dict[str, str]:
         "model_quality": _model_quality_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
+        "crawl_politeness": f"""
+WITH frontier AS ({_MESSY_URL_SQL}),
+ranked AS (
+  SELECT doc_id,
+         lower(source) || '.example' AS host,
+         ROW_NUMBER() OVER (
+           PARTITION BY lower(source) || '.example'
+           ORDER BY (doc_id % 5) DESC, url ASC
+         ) - 1 AS rn
+  FROM frontier JOIN documents USING (doc_id)
+)
+SELECT doc_id, host,
+       CAST(rn // 7 AS BIGINT) AS batch,
+       CAST(rn % 7 AS BIGINT) AS slot
+FROM ranked
+""",
         "lang_bytes_rollup": (
             "SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS bytes, "
             "COUNT(*) AS n_docs FROM documents GROUP BY lang"

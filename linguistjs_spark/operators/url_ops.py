@@ -228,3 +228,45 @@ def filter_blocked_domains(
     # crawls can have percent-level block rates) — AQE broadcasts small
     # hit sets itself and degrades to sort-merge when they are not
     return keyed.join(hits, url_col, "left_anti").drop("_sfx")
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    per_host_per_batch: int = 10,
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """Crawl-frontier politeness scheduling: assign every URL a fetch
+    ``batch`` and within-batch ``slot`` so that no batch fetches more than
+    ``per_host_per_batch`` URLs from one host (per-host rate limiting —
+    the frontier-shaping step between robots gating and the fetch tier).
+
+    Semantics: URLs are ranked PER HOST (by ``priority_col`` descending
+    when given, ties and default by URL ascending — fully deterministic),
+    then dealt into consecutive batches of ``per_host_per_batch``. Output
+    adds ``host``, ``batch`` (0-based) and ``slot`` (0-based position
+    within the host's allocation for that batch).
+
+    Scale shape: ONE window shuffle partitioned by host. Per-host
+    ordering is inherent to the semantics (priority crawling), so a
+    Zipf-hot host sorts its URLs inside one task; two mitigations for the
+    10^12-row frontier: (a) rank only the horizon you will actually fetch
+    (pre-filter by priority floor — predicate pushes below the window),
+    and (b) when priority order is NOT required, a shuffle-free
+    hash-deal (``pmod(xxhash64(url), n_batches)``) spreads any host
+    evenly without sorting; this operator implements the ordered
+    contract."""
+    host = domain_col(F.col(url_col))
+    order = (
+        [F.col(priority_col).desc()] if priority_col else []
+    ) + [F.col(url_col).asc()]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host).orderBy(*order)
+    rn = F.row_number().over(w) - 1
+    return frontier.select(
+        "*",
+        host.alias("host"),
+        (rn / per_host_per_batch).cast("long").alias("batch"),
+        (rn % per_host_per_batch).cast("long").alias("slot"),
+    )

@@ -214,3 +214,65 @@ def test_crawl_delta_fingerprints_before_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_politeness_schedule_caps_per_host_per_batch(spark):
+    from linguistjs_spark.operators.url_ops import politeness_schedule
+
+    rows = [(f"https://hot.example/p{i:03d}", i % 3) for i in range(25)]
+    rows += [(f"https://cold.example/q{i}", 9) for i in range(2)]
+    frontier = spark.createDataFrame(rows, "url string, prio int")
+    out = politeness_schedule(frontier, per_host_per_batch=10).collect()
+    assert len(out) == 27
+    per = {}
+    for r in out:
+        per.setdefault((r["host"], r["batch"]), []).append(r["slot"])
+    for (host, batch), slots in per.items():
+        assert len(slots) <= 10
+        assert sorted(slots) == list(range(len(slots)))  # dense 0-based
+    assert {r["batch"] for r in out if r["host"] == "hot.example"} == {0, 1, 2}
+    assert {r["batch"] for r in out if r["host"] == "cold.example"} == {0}
+
+
+def test_politeness_priority_order_and_determinism(spark):
+    from linguistjs_spark.operators.url_ops import politeness_schedule
+
+    rows = [
+        ("https://h.example/low", 1),
+        ("https://h.example/high", 9),
+        ("https://h.example/mid-b", 5),
+        ("https://h.example/mid-a", 5),  # tie -> url asc
+    ]
+    frontier = spark.createDataFrame(rows, "url string, prio int")
+    got = {
+        r["url"]: (r["batch"], r["slot"])
+        for r in politeness_schedule(
+            frontier, per_host_per_batch=2, priority_col="prio"
+        ).collect()
+    }
+    assert got == {
+        "https://h.example/high": (0, 0),
+        "https://h.example/mid-a": (0, 1),
+        "https://h.example/mid-b": (1, 0),
+        "https://h.example/low": (1, 1),
+    }
+    got2 = {
+        r["url"]: (r["batch"], r["slot"])
+        for r in politeness_schedule(
+            frontier, per_host_per_batch=2, priority_col="prio"
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_politeness_single_window_shuffle(spark):
+    from linguistjs_spark.operators.url_ops import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [("https://a.example/x",)], "url string"
+    )
+    plan = politeness_schedule(frontier)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
