@@ -9,6 +9,7 @@ Usage (also the spark-submit main, north rule 'spark-submit --py-files'):
         [--quick] [--child-languages] [--output DIR] [--buckets N]
         [--gopher-funnel [--funnel-min-words N]] [--drop-noindex]
         [--robots robots.parquet|robots.txt]
+        [--model-quality model.bin [--model-quality-min-prob P]]
         [--pagerank [--pagerank-iters N] [--pagerank-top K]]
 """
 
@@ -59,6 +60,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="join the --robots table on domain with a shuffle "
                     "instead of a broadcast (for crawl-wide robots tables "
                     "that exceed the broadcast limit)")
+    ap.add_argument("--model-quality", default=None, metavar="PATH",
+                    help="supervised fastText .bin quality classifier: "
+                    "drop pages scored below --model-quality-min-prob "
+                    "before analysis (DCLM/CCNet model tier; scored via "
+                    "the broadcast word-logit join, no per-row python). "
+                    "Pages with NULL text pass (not scoreable); pages "
+                    "with text but no in-vocabulary token drop.")
+    ap.add_argument("--model-quality-min-prob", type=float, default=0.5,
+                    metavar="P", help="keep threshold P(hq) for "
+                    "--model-quality (default 0.5)")
     ap.add_argument("--drop-noindex", action="store_true",
                     help="drop pages whose html declares robots-meta "
                          "noindex before any content rule")
@@ -232,6 +243,31 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.extract import filter_noindex
 
             pages = filter_noindex(pages)
+        if args.model_quality:
+            # model-scored quality tier, after the crawl-compliance gates
+            # (robots/noindex) and before content analysis — the order of
+            # a CCNet/DCLM pipeline
+            from pyspark.sql import functions as F
+
+            from .fasttext_bin import load_model
+            from .operators.model_filter import (
+                logit_dim_df, model_quality_filter)
+
+            try:
+                model = load_model(args.model_quality)
+            except (OSError, ValueError) as e:
+                print(f"error: --model-quality: {e}", file=sys.stderr)
+                return 2
+            dropped = model_quality_filter(
+                pages.where(F.col("text").isNotNull()).select("url", "text"),
+                logit_dim_df(spark, model),
+                min_prob=args.model_quality_min_prob,
+                id_col="url",
+            ).where(~F.col("keep")).select("url")
+            # anti join unhinted: AQE broadcasts a small dropped set and
+            # degrades to sort-merge at percent-level drop rates (the
+            # filter_blocked_domains stance)
+            pages = pages.join(dropped, "url", "left_anti")
         if args.pagerank:
             if "html" not in pages.columns:
                 print("error: --pagerank needs an html column",

@@ -231,3 +231,63 @@ def test_cli_pagerank_and_noindex_modes(spark, tmp_path, capsys):
     rc = main([path, "--drop-noindex", "--min-size", "1b"])
     assert rc == 0
     assert capsys.readouterr().out.strip()
+
+
+def test_cli_model_quality_gate(spark, tmp_path, capsys):
+    """--model-quality drops classifier-rejected and OOV pages before
+    analysis; NULL-text pages pass the gate; a non-model path errors
+    cleanly."""
+    import datetime as dt
+
+    from linguistjs_spark.cli import main
+    from linguistjs_spark.operators.model_filter import (
+        build_demo_quality_model)
+
+    ts = dt.datetime(2020, 1, 1)
+    rows = [
+        ("https://hq.example/a.txt", ts, b"x",
+         "the research study and the analysis were published by the "
+         "university", None),
+        ("https://lq.example/b.txt", ts, b"x",
+         "click the free casino bonus prize and the jackpot offer deal",
+         None),
+        ("https://oov.example/c.txt", ts, b"x",
+         "zq vbnm mlkj qwert asdfg zxcvb", None),
+        ("https://null.example/d.txt", ts, b"\x00\x01", None, None),
+    ]
+    path = str(tmp_path / "pages_mq")
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    ).write.mode("overwrite").parquet(path)
+
+    # baseline: hq, lq, oov all kept (they pass the heuristic rules)
+    rc = main([path, "--list-files"])
+    assert rc == 0
+    base = capsys.readouterr().out
+    for u in ("hq.example", "lq.example", "oov.example"):
+        assert u in base
+
+    model = str(tmp_path / "mq.bin")
+    build_demo_quality_model(model)
+    rc = main([path, "--model-quality", model, "--list-files"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "hq.example" in out
+    assert "lq.example" not in out   # classifier-rejected
+    assert "oov.example" not in out  # no in-vocab token -> drop
+
+    # threshold is honored: at a very strict threshold even hq drops
+    rc = main([path, "--model-quality", model,
+               "--model-quality-min-prob", "0.999999", "--list-files"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "hq.example" not in out
+
+    # non-model file -> clean error, exit 2
+    bad = tmp_path / "not_a_model.bin"
+    bad.write_bytes(b"junk")
+    rc = main([path, "--model-quality", str(bad)])
+    assert rc == 2
+    assert "model-quality" in capsys.readouterr().err
