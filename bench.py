@@ -759,6 +759,62 @@ def main() -> None:
         )
         shutil.rmtree(warc_dir, ignore_errors=True)
 
+        # round-5 op: model-scored quality tier at pipeline volume —
+        # REPLICATE x docs through the fastText linearity collapse
+        # (operators/model_filter.py): token explode -> broadcast
+        # word-logit join -> one map-side-combined groupBy; zero python
+        # workers anywhere in the leg.
+        from linguistjs_spark.fasttext_bin import load_model
+        from linguistjs_spark.operators.model_filter import (
+            build_demo_quality_model, logit_dim_df, model_quality_filter)
+
+        mq_path = os.path.join(_tf.gettempdir(), "bench_demo_quality.bin")
+        build_demo_quality_model(mq_path)
+        mq_logits = logit_dim_df(spark, load_model(mq_path))
+
+        def _rep_docs():
+            d = fresh_docs()
+            rep = spark.range(REPLICATE).select(F.col("id").alias("_rep"))
+            return d.crossJoin(F.broadcast(rep)).select(
+                (F.col("doc_id") * REPLICATE + F.col("_rep"))
+                .alias("doc_id"),
+                "text",
+            )
+
+        def _mq_job():
+            rows = model_quality_filter(
+                _rep_docs(), mq_logits, min_prob=0.6
+            ).groupBy("keep").count().collect()
+            return sum(r["count"] for r in rows)
+
+        n_mq = run_leg(
+            "model_quality", queries, queries_host,
+            lambda: lambda: _mq_job(),
+        )
+        queries_host["model_quality"].update(
+            {
+                "n_docs": n_mq,
+                "docs_per_sec": round(n_mq / queries["model_quality"], 1),
+            }
+        )
+
+        # round-5 op: distributed BPE learning — the corpus-sized
+        # word-count shuffle once (localCheckpoint), then 8 merge
+        # iterations over the distinct-word table (pair-count shuffle +
+        # bounded argmax collect + zero-shuffle fold each).
+        from linguistjs_spark.operators import bpe as BPE
+
+        def _bpe_job():
+            merges, _ = BPE.learn_bpe(
+                BPE.word_count_table(_rep_docs()), num_merges=8
+            )
+            return len(merges)
+
+        run_leg(
+            "bpe_learn8", queries, queries_host,
+            lambda: lambda: _bpe_job(),
+        )
+
         # straggler stress: same pipeline over a long-doc-tail input, hash
         # partitioning vs byte-length range partitioning. The range mode
         # must not lose (and should win as partitions shrink relative to
