@@ -297,6 +297,28 @@ def run_pipeline(
     else:
         df = df.withColumn("ppl", F.lit(None).cast("double"))
 
+    # optional model-scored quality tier (supervised fastText .bin): a
+    # second pandas-UDF slot, vectorized batch kernel (split/merge/groupby
+    # all pandas C paths), bit-equal to model_filter's broadcast-join
+    # formulation — the join shape suits the standalone operator/CLI gate;
+    # inside this pipeline a per-row column keeps the label projection
+    # shuffle-free.
+    if cfg.model_quality_path:
+        from .fasttext_bin import load_model as _ft_load
+        from .operators.model_filter import margin_batch, word_logit_rows
+
+        _mq_rows = word_logit_rows(_ft_load(cfg.model_quality_path))
+
+        @F.pandas_udf("double")
+        def mq_udf(s: pd.Series) -> pd.Series:
+            return margin_batch(_mq_rows, s)
+
+        df = df.withColumn(
+            "mq_margin", F.when(alive, mq_udf(F.when(alive, text)))
+        )
+    else:
+        df = df.withColumn("mq_margin", F.lit(None).cast("double"))
+
     top_bigram = None
     if cfg.max_top_bigram_ratio is not None:
         from .operators.quality import top_bigram_ratio_col
@@ -315,6 +337,23 @@ def run_pipeline(
             qreason,
             F.when(F.col("ppl") > cfg.max_perplexity, F.lit("quality-perplexity")),
         )
+    mq_reason = F.lit(None).cast("string")
+    if cfg.model_quality_path:
+        from .operators.model_filter import margin_threshold
+
+        _thr = margin_threshold(cfg.model_quality_min_prob)
+        mq_reason = F.when(
+            F.col("mq_margin") < F.lit(_thr), F.lit("model-quality")
+        )
+        if cfg.model_quality_drop_oov:
+            # mq_margin is NULL here only for alive, text-bearing rows
+            # with no in-vocabulary token (dead rows matched an earlier
+            # branch of the keep_reason CASE chain)
+            mq_reason = F.coalesce(
+                mq_reason,
+                F.when(F.col("mq_margin").isNull(),
+                       F.lit("model-quality-oov")),
+            )
     tox_reason = F.lit(None).cast("string")
     if cfg.toxicity_filter:
         tox_reason = F.when(
@@ -334,8 +373,9 @@ def run_pipeline(
 
     # ONE CASE chain decides every row's fate; branch order mirrors the
     # reference's filter ordering (path -> read -> binary sniff -> category
-    # -> quality/toxicity). qreason/tox are NULL for dead rows (their inputs
-    # are NULL-gated), so the coalesce never misfires across stages.
+    # -> quality/toxicity -> model tier). qreason/tox/mq are NULL for dead
+    # rows (their inputs are NULL-gated), so the coalesce never misfires
+    # across stages.
     df = df.withColumn(
         "keep_reason",
         F.coalesce(
@@ -345,6 +385,7 @@ def run_pipeline(
             F.when(F.col("_cat"), F.lit("category")),
             qreason,
             tox_reason,
+            mq_reason,
             kept_reason,
         ),
     )
