@@ -151,3 +151,44 @@ def test_stream_quality_stages_match_batch_and_resume(spark, tmp_path):
     n = got2.count()
     stream_quality_stages(spark, d["in"], d["out"], d["ckpt"], min_words=20)
     assert spark.read.parquet(d["out"]).count() == n
+
+
+def test_streamed_model_quality_tier_matches_batch(spark, tmp_path):
+    """The model tier (cfg.model_quality_path) is a stateless pandas-UDF
+    column, so stream_labels streams it as-is: streamed labels ==
+    batch labels, including 'model-quality' drop attribution."""
+    import datetime as dt
+
+    from linguistjs_spark.operators.model_filter import (
+        build_demo_quality_model)
+
+    model = str(tmp_path / "mq.bin")
+    build_demo_quality_model(model)
+    cfg = QualityFilterConfig(
+        langid_fallback=False, scrub_pii=False, toxicity_filter=False,
+        model_quality_path=model, model_quality_min_prob=0.6,
+    )
+    ts = dt.datetime(2022, 3, 1)
+    rows = [
+        ("https://s.example/hq.txt", ts, None,
+         "the research study and the analysis were published by the "
+         "university", None),
+        ("https://s.example/lq.txt", ts, None,
+         "click the free casino bonus prize and the jackpot offer deal",
+         None),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    pages.write.mode("append").parquet(in_dir)
+    stream_labels(spark, in_dir, out_dir, ckpt, cfg)
+    got = _label_set(spark.read.parquet(out_dir))
+    assert got == _label_set(run_pipeline(spark, pages, cfg))
+    reasons = {u: r for u, _, r, _ in got}
+    assert reasons["https://s.example/lq.txt"] == "model-quality"
+    assert reasons["https://s.example/hq.txt"] == "classified"
