@@ -2286,6 +2286,27 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
+def q_bpe_packing(spark, sf_dir):
+    """Composition: tokenizer-true sequence packing — learn BPE merges,
+    count each doc's tokens under the learned segmentation (distinct-word
+    dim join, bpe.bpe_doc_token_counts), then pack 256-token training
+    sequences (packing.pack_sequences) and roll up per bucket. The packing
+    budget is real tokenizer tokens, not the whitespace proxy."""
+    from linguistjs_spark.operators import packing as PK
+    from linguistjs_spark.operators.bpe import (
+        bpe_doc_token_counts, learn_bpe, word_count_table)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges, _ = learn_bpe(word_count_table(docs), num_merges=12)
+    counts = bpe_doc_token_counts(docs, merges)
+    packed = PK.pack_sequences(
+        counts, max_tokens=256, n_buckets=16,
+        bucket_col=F.col("doc_id") % 16,
+        n_tokens_col=F.col("n_tokens"),
+    )
+    return PK.packing_summary(packed, 256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry ORDER is load-bearing: the round driver records CORRECTNESS
     # rows for the FIRST 50 entries only; every entry is equally
@@ -2304,15 +2325,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 13
-    # group-(1) entries the cap lands after langid_dist, so the r4-recorded
-    # tail (gopher_quality .. duplicated_spans) falls past the cap this
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 14
+    # group-(1) entries the cap lands after ann_topk, so the r4-recorded
+    # tail (langid_dist .. duplicated_spans) falls past the cap this
     # round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
+        "bpe_packing": q_bpe_packing,
         "crawl_politeness": q_crawl_politeness,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
@@ -2363,11 +2385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_windows": q_event_rate_windows,
         "sequence_packing": q_sequence_packing,
         "ann_topk": q_ann_topk,
-        "langid_dist": q_langid_dist,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "langid_dist": q_langid_dist,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
         "quality_funnel": q_quality_funnel,
@@ -3958,9 +3980,50 @@ def _bpe_token_counts_oracle_sql() -> str:
     )
 
 
+def _bpe_packing_oracle_sql() -> str:
+    """Twin doc-token counts as VALUES, then the identical window-cumsum /
+    rollup restatement the sequence_packing oracle uses (256-token packs,
+    bucket = doc_id % 16)."""
+    import duckdb
+
+    from linguistjs_spark.operators.bpe import (
+        doc_token_counts_local, learn_bpe_local, word_counts_local)
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    wc = word_counts_local([t for _, t in rows])
+    merges, _ = learn_bpe_local(wc, num_merges=12)
+    counts = doc_token_counts_local(rows, merges)
+    vals = ", ".join(f"({d}, {n})" for d, n in sorted(counts.items()))
+    return f"""
+WITH t AS (
+  SELECT CAST(d AS BIGINT) AS doc_id, d % 16 AS bucket,
+         CAST(n AS BIGINT) AS n_tok
+  FROM (VALUES {vals}) v(d, n)),
+p AS (
+  SELECT doc_id, bucket, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tok) - 1) / 256) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN GREATEST(FLOOR(o / 256),
+                     FLOOR((o + n_tok - 1) / 256)) > FLOOR(o / 256)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+       CAST(SUM(FLOOR(o / 256) * doc_id) AS BIGINT) AS assign_checksum
+FROM p GROUP BY bucket
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "model_quality": _model_quality_oracle_sql(),
+        "bpe_packing": _bpe_packing_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "crawl_politeness": f"""

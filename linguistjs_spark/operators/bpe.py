@@ -180,6 +180,54 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple],
     return enc.groupBy("token").agg(F.sum("cnt").alias("n"))
 
 
+def bpe_doc_token_counts(docs: DataFrame, merges: list[tuple],
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_word_chars: int = 1000) -> DataFrame:
+    """Per-DOCUMENT token counts under the learned segmentation:
+    ``(id_col, n_tokens)`` — the input sequence packing needs when the
+    budget is tokenizer tokens, not the whitespace proxy.
+
+    Shape mirrors model_filter: the distinct-word table is segmented once
+    (fold expressions never run on per-document rows), becomes a
+    (word, n_tok) dim, and per-doc counting is explode_outer -> left
+    BroadcastHashJoin -> one groupBy sum. Words the dim misses (none when
+    the dim is built from the same corpus) fall back to their unmerged
+    symbol count; over-long words count 0, consistent with
+    :func:`word_count_table` dropping them from learning."""
+    words = F.filter(
+        tokens_col_for_bpe(F.col(text_col)),
+        lambda x: F.length(x) <= max_word_chars,
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(words).alias("word")
+    )
+    dim = (
+        docs.select(F.explode(words).alias("word"))
+        .where(F.length("word") <= max_word_chars)
+        .distinct()
+        .select(
+            "word",
+            F.size(encode_word_col(F.col("word"), merges)).alias("n_tok"),
+        )
+    )
+    j = toks.join(F.broadcast(dim), "word", "left")
+    per_word = F.coalesce(
+        F.col("n_tok"),
+        F.when(F.col("word").isNotNull(),
+               F.size(symbols_col(F.col("word")))),
+        F.lit(0),
+    )
+    return j.groupBy(id_col).agg(
+        F.sum(per_word).cast("long").alias("n_tokens")
+    )
+
+
+def tokens_col_for_bpe(text: Column) -> Column:
+    """Whitespace token array under the same delimiter set learning uses."""
+    return F.filter(F.split(text, FASTTEXT_WS_RE),
+                    lambda x: x != F.lit(""))
+
+
 # ---------------------------------------------------------------------------
 # python twin (oracle / parity)
 # ---------------------------------------------------------------------------
@@ -249,3 +297,26 @@ def token_counts_local(word_counts: dict[str, int],
         for s in syms:
             c[s] += n
     return dict(c)
+
+
+def doc_token_counts_local(texts_with_ids, merges: list[tuple],
+                           max_word_chars: int = 1000) -> dict:
+    """Twin of :func:`bpe_doc_token_counts` over ``[(id, text), ...]``."""
+    seg_cache: dict[str, int] = {}
+
+    def n_tok(w: str) -> int:
+        if w not in seg_cache:
+            syms = list(w) + [END_OF_WORD]
+            for _, a, b, _ in merges:
+                syms = merge_word_local(syms, a, b)
+            seg_cache[w] = len(syms)
+        return seg_cache[w]
+
+    out = {}
+    for i, t in texts_with_ids:
+        out[i] = sum(
+            n_tok(w)
+            for w in _WS_SPLIT.split(t or "")
+            if w and len(w) <= max_word_chars
+        )
+    return out

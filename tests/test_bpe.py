@@ -147,3 +147,33 @@ def test_sf_docs_learning_deterministic(spark):
     assert m1 == m2
     assert len(m1) == 6
     assert all(n >= 2 for _, _, _, n in m1)
+
+
+def test_doc_token_counts_match_twin(spark, docs):
+    from linguistjs_spark.operators.bpe import (
+        bpe_doc_token_counts, doc_token_counts_local)
+
+    merges, _ = learn_bpe(word_count_table(docs), num_merges=8)
+    got = {r["doc_id"]: r["n_tokens"]
+           for r in bpe_doc_token_counts(docs, merges).collect()}
+    want = doc_token_counts_local(TEXTS, merges)
+    assert got == want
+    assert got[4] == 0 and got[5] == 0  # NULL / empty text
+    # token totals agree with the corpus-wide count path
+    corpus = {r["token"]: r["n"]
+              for r in bpe_token_counts(docs, merges).collect()}
+    assert sum(got.values()) == sum(corpus.values())
+
+
+def test_doc_token_counts_oov_fallback(spark):
+    # merges learned elsewhere: unseen words fall back to unmerged
+    # symbol count (chars + </w>)
+    from linguistjs_spark.operators.bpe import bpe_doc_token_counts
+
+    merges = [(0, "x", "y", 10)]
+    docs = spark.createDataFrame(
+        [(0, "abc xyxy")], "doc_id long, text string"
+    )
+    got = bpe_doc_token_counts(docs, merges).collect()[0]
+    # 'abc' -> a b c </w> = 4; 'xyxy' -> xy xy </w> = 3
+    assert got["n_tokens"] == 7
