@@ -3893,7 +3893,7 @@ def _model_quality_oracle_sql() -> str:
     model = load_model(_demo_quality_model_path())
     rows = word_logit_rows(model)
     vals = ", ".join(
-        f"({w!r}, {l[0]!r}, {l[1]!r})" for w, l in rows
+        f"({_sql_str(w)}, {l[0]!r}, {l[1]!r})" for w, l in rows
     )
     thr = repr(margin_threshold(0.6))
     return f"""
@@ -3927,30 +3927,34 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=4)
 def _bpe_twin(num_merges: int = 12):
-    """Shared twin run for the BPE oracles: word counts + merges learned
-    locally (independent reimplementation, pinned bit-for-bit against the
-    Spark fold in tests/test_bpe.py) over the oracle SF's documents."""
+    """Shared twin run for the THREE BPE oracles: (id,text) rows, word
+    counts, and merges learned locally (independent reimplementation,
+    pinned bit-for-bit against the Spark fold in tests/test_bpe.py) over
+    the oracle SF's documents. lru_cached — oracle_sql() is rebuilt per
+    parametrized test and would otherwise re-learn per call."""
     import duckdb
 
     from linguistjs_spark.operators.bpe import (
         learn_bpe_local, word_counts_local)
 
     con = duckdb.connect()
-    texts = [
-        r[0] for r in con.sql(
-            "SELECT text FROM "
-            f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
-        ).fetchall()
-    ]
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
     con.close()
-    wc = word_counts_local(texts)
+    wc = word_counts_local([t for _, t in rows])
     merges, _ = learn_bpe_local(wc, num_merges=num_merges)
-    return wc, merges
+    return tuple(rows), wc, merges
 
 
 def _bpe_merges_oracle_sql() -> str:
-    _, merges = _bpe_twin()
+    _, _, merges = _bpe_twin()
     vals = ", ".join(
         f"({r}, {_sql_str(a)}, {_sql_str(b)}, {n})"
         for r, a, b, n in merges
@@ -3968,7 +3972,7 @@ def _bpe_merges_oracle_sql() -> str:
 def _bpe_token_counts_oracle_sql() -> str:
     from linguistjs_spark.operators.bpe import token_counts_local
 
-    wc, merges = _bpe_twin()
+    _, wc, merges = _bpe_twin()
     counts = token_counts_local(wc, merges)
     top = sorted(
         counts.items(), key=lambda kv: (-kv[1], kv[0].encode("utf-8"))
@@ -3984,19 +3988,9 @@ def _bpe_packing_oracle_sql() -> str:
     """Twin doc-token counts as VALUES, then the identical window-cumsum /
     rollup restatement the sequence_packing oracle uses (256-token packs,
     bucket = doc_id % 16)."""
-    import duckdb
+    from linguistjs_spark.operators.bpe import doc_token_counts_local
 
-    from linguistjs_spark.operators.bpe import (
-        doc_token_counts_local, learn_bpe_local, word_counts_local)
-
-    con = duckdb.connect()
-    rows = con.sql(
-        "SELECT doc_id, text FROM "
-        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
-    ).fetchall()
-    con.close()
-    wc = word_counts_local([t for _, t in rows])
-    merges, _ = learn_bpe_local(wc, num_merges=12)
+    rows, _, merges = _bpe_twin()
     counts = doc_token_counts_local(rows, merges)
     vals = ", ".join(f"({d}, {n})" for d, n in sorted(counts.items()))
     return f"""

@@ -251,10 +251,13 @@ def main(argv: list[str] | None = None) -> int:
 
             from .fasttext_bin import load_model
             from .operators.model_filter import (
-                logit_dim_df, model_quality_filter)
+                logit_dim_df, margin_threshold, model_quality_filter,
+                require_two_labels)
 
             try:
                 model = load_model(args.model_quality)
+                require_two_labels(model)
+                margin_threshold(args.model_quality_min_prob)  # range check
             except (OSError, ValueError) as e:
                 print(f"error: --model-quality: {e}", file=sys.stderr)
                 return 2

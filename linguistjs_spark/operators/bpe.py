@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .model_filter import FASTTEXT_WS_RE
+from .model_filter import FASTTEXT_WS_RE, tokens_col
 
 END_OF_WORD = "</w>"
 _SENT = "\x00"  # fold carry sentinel; cannot collide: \x00 is a delimiter
@@ -53,12 +53,10 @@ def word_count_table(docs: DataFrame, text_col: str = "text",
     """``(word, cnt)`` over whitespace tokens — the one corpus-sized
     shuffle. Words longer than ``max_word_chars`` (unsegmented binary
     blobs; they would make the merge fold quadratic) are dropped, as is
-    NULL/empty text."""
+    NULL/empty text. Tokenization is model_filter.tokens_col — ONE
+    delimiter contract shared with the classifier tier."""
     toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.col(text_col), FASTTEXT_WS_RE),
-                     lambda x: x != F.lit(""))
-        ).alias("word")
+        F.explode(tokens_col(F.col(text_col))).alias("word")
     )
     return (
         toks.where(F.length("word") <= max_word_chars)
@@ -156,14 +154,46 @@ def learn_bpe(word_counts: DataFrame, num_merges: int,
     return merges, vocab
 
 
+_FOLD_BATCH = 16  # merges per expression tree in the batched encode
+
+
 def encode_word_col(word: Column, merges: list[tuple]) -> Column:
     """Segment one word with the learned merges, applied in rank order —
-    a driver-built chain of folds. Intended for the DISTINCT-word table
-    (each unique word is encoded once), never for per-document rows."""
+    a driver-built chain of folds in ONE expression. Intended for the
+    DISTINCT-word table, never for per-document rows, and only for SHORT
+    merge lists: every merge nests another F.aggregate, and past a few
+    dozen the analyzer/codegen blow up. Real vocabularies (10k-50k
+    merges) must go through :func:`encode_words_df`, which batches the
+    folds with localCheckpoint barriers; this guard fails loud instead of
+    letting the driver stack-overflow."""
+    if len(merges) > 4 * _FOLD_BATCH:
+        raise ValueError(
+            f"{len(merges)} merges would nest {len(merges)} aggregate "
+            "expressions in one tree — use encode_words_df for real "
+            "merge counts"
+        )
     syms = symbols_col(word)
     for _, a, b, _ in merges:
         syms = merge_pair_col(syms, a, b)
     return syms
+
+
+def encode_words_df(words: DataFrame, merges: list[tuple],
+                    word_col: str = "word",
+                    fold_batch: int = _FOLD_BATCH) -> DataFrame:
+    """Segment a word table with ANY number of merges: folds are applied
+    ``fold_batch`` ranks at a time with a localCheckpoint between batches
+    (the learn_bpe lineage-truncation stance), so expression depth is
+    bounded regardless of vocabulary size. Adds ``syms`` to ``words``."""
+    out = words.withColumn("syms", symbols_col(F.col(word_col)))
+    for i in range(0, len(merges), fold_batch):
+        syms = F.col("syms")
+        for _, a, b, _ in merges[i:i + fold_batch]:
+            syms = merge_pair_col(syms, a, b)
+        out = out.withColumn("syms", syms)
+        if i + fold_batch < len(merges):
+            out = out.localCheckpoint()
+    return out
 
 
 def bpe_token_counts(docs: DataFrame, merges: list[tuple],
@@ -171,11 +201,11 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple],
                      max_word_chars: int = 1000) -> DataFrame:
     """Corpus token frequencies under the learned segmentation:
     ``(token, n)``. The corpus is read once (word-count pass); encoding
-    runs over the distinct-word table and is weighted by ``cnt``."""
+    runs over the distinct-word table (batched folds) weighted by
+    ``cnt``."""
     wc = word_count_table(docs, text_col, max_word_chars)
-    enc = wc.select(
-        F.explode(encode_word_col(F.col("word"), merges)).alias("token"),
-        "cnt",
+    enc = encode_words_df(wc, merges).select(
+        F.explode("syms").alias("token"), "cnt"
     )
     return enc.groupBy("token").agg(F.sum("cnt").alias("n"))
 
@@ -195,21 +225,15 @@ def bpe_doc_token_counts(docs: DataFrame, merges: list[tuple],
     symbol count; over-long words count 0, consistent with
     :func:`word_count_table` dropping them from learning."""
     words = F.filter(
-        tokens_col_for_bpe(F.col(text_col)),
+        tokens_col(F.col(text_col)),
         lambda x: F.length(x) <= max_word_chars,
     )
     toks = docs.select(
         F.col(id_col), F.explode_outer(words).alias("word")
     )
-    dim = (
-        docs.select(F.explode(words).alias("word"))
-        .where(F.length("word") <= max_word_chars)
-        .distinct()
-        .select(
-            "word",
-            F.size(encode_word_col(F.col("word"), merges)).alias("n_tok"),
-        )
-    )
+    dim = encode_words_df(
+        docs.select(F.explode(words).alias("word")).distinct(), merges
+    ).select("word", F.size("syms").alias("n_tok"))
     j = toks.join(F.broadcast(dim), "word", "left")
     per_word = F.coalesce(
         F.col("n_tok"),
@@ -220,12 +244,6 @@ def bpe_doc_token_counts(docs: DataFrame, merges: list[tuple],
     return j.groupBy(id_col).agg(
         F.sum(per_word).cast("long").alias("n_tokens")
     )
-
-
-def tokens_col_for_bpe(text: Column) -> Column:
-    """Whitespace token array under the same delimiter set learning uses."""
-    return F.filter(F.split(text, FASTTEXT_WS_RE),
-                    lambda x: x != F.lit(""))
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,18 @@ def model_quality_scores(docs: DataFrame, logit_df: DataFrame,
     return df
 
 
+def require_two_labels(model: FastTextBinModel) -> None:
+    """The margin-based filter is defined for binary classifiers only; a
+    1-label model would silently drop EVERYTHING (m1 NULL -> keep false)
+    and a k>2 model breaks the P(hq)>=tau <-> margin>=log-odds
+    equivalence — fail loud instead."""
+    if len(model.labels) != 2:
+        raise ValueError(
+            f"quality filter needs a 2-label model, got "
+            f"{len(model.labels)} labels: {model.labels[:5]}"
+        )
+
+
 def margin_threshold(min_prob: float) -> float:
     """Probability threshold -> exact logit-margin threshold (2 labels)."""
     if not 0.0 < min_prob < 1.0:
@@ -209,6 +221,11 @@ def margin_batch(logit_rows: list[tuple], s) -> "object":
     import numpy as np
     import pandas as pd
 
+    if logit_rows and len(logit_rows[0][1]) != 2:
+        raise ValueError(
+            f"margin_batch needs 2-label logits, got "
+            f"{len(logit_rows[0][1])} per word"
+        )
     tbl = pd.DataFrame(
         {
             "word": [w for w, _ in logit_rows],

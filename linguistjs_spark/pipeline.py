@@ -305,9 +305,12 @@ def run_pipeline(
     # shuffle-free.
     if cfg.model_quality_path:
         from .fasttext_bin import load_model as _ft_load
-        from .operators.model_filter import margin_batch, word_logit_rows
+        from .operators.model_filter import (
+            margin_batch, require_two_labels, word_logit_rows)
 
-        _mq_rows = word_logit_rows(_ft_load(cfg.model_quality_path))
+        _mq_model = _ft_load(cfg.model_quality_path)
+        require_two_labels(_mq_model)  # fail at plan build, not in tasks
+        _mq_rows = word_logit_rows(_mq_model)
 
         @F.pandas_udf("double")
         def mq_udf(s: pd.Series) -> pd.Series:

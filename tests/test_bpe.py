@@ -177,3 +177,22 @@ def test_doc_token_counts_oov_fallback(spark):
     got = bpe_doc_token_counts(docs, merges).collect()[0]
     # 'abc' -> a b c </w> = 4; 'xyxy' -> xy xy </w> = 3
     assert got["n_tokens"] == 7
+
+
+def test_encode_words_df_batches_large_merge_lists(spark, docs):
+    """encode_words_df must segment identically to the twin at merge
+    counts far past one expression tree (the checkpoint-batched path),
+    and encode_word_col must refuse them loudly."""
+    from linguistjs_spark.operators.bpe import encode_words_df
+
+    wc = {f"prefix{i:02d}word{i % 7}ending": i + 1 for i in range(40)}
+    merges, want_vocab = learn_bpe_local(wc, num_merges=100, min_count=1)
+    assert len(merges) > 64  # past the single-tree guard
+    with pytest.raises(ValueError, match="encode_words_df"):
+        encode_word_col(F.col("w"), merges)
+    words = spark.createDataFrame(
+        [(w,) for w in wc], "word string"
+    )
+    got = {r["word"]: r["syms"]
+           for r in encode_words_df(words, merges, fold_batch=16).collect()}
+    assert got == want_vocab

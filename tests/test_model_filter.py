@@ -185,3 +185,21 @@ def test_word_weight_variety(model):
     rows = word_logit_rows(model)
     hq = {l[0] for w, l in rows if l[0] > 0}
     assert len(hq) > 20
+
+
+def test_require_two_labels_and_margin_batch_guard(tmp_path):
+    import pandas as pd
+
+    from linguistjs_spark.fasttext_bin import save_supervised_model
+    from linguistjs_spark.operators.model_filter import (
+        margin_batch, require_two_labels)
+
+    p = str(tmp_path / "three.bin")
+    save_supervised_model(
+        p, ["a", "b"], ["__label__x", "__label__y", "__label__z"],
+        np.ones((2, 3), dtype=np.float32), np.ones((3, 3), dtype=np.float32),
+    )
+    with pytest.raises(ValueError, match="2-label"):
+        require_two_labels(load_model(p))
+    with pytest.raises(ValueError, match="2-label"):
+        margin_batch([("a", [1.0, 2.0, 3.0])], pd.Series(["a"]))

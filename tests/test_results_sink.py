@@ -291,3 +291,9 @@ def test_cli_model_quality_gate(spark, tmp_path, capsys):
     rc = main([path, "--model-quality", str(bad)])
     assert rc == 2
     assert "model-quality" in capsys.readouterr().err
+
+    # out-of-range threshold -> clean error, exit 2 (not a traceback)
+    rc = main([path, "--model-quality", model,
+               "--model-quality-min-prob", "1.0"])
+    assert rc == 2
+    assert "min_prob" in capsys.readouterr().err
