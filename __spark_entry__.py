@@ -2286,6 +2286,44 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
+def q_model_quality_buckets(spark, sf_dir):
+    """Composition: DCLM-style quality tiers — per-language head/middle/
+    tail terciles of the classifier margin (head = highest quality),
+    reusing the CCNet bucketing machinery on quality = -margin. Unscored
+    docs (no in-vocab token) are excluded from tiering and counted in a
+    fourth 'unscored' bucket so nothing silently drops. min/max margins
+    per tier are order-free exact (no float sums cross rows)."""
+    from linguistjs_spark.fasttext_bin import load_model
+    from linguistjs_spark.operators.model_filter import (
+        logit_dim_df, model_quality_filter)
+    from linguistjs_spark.perplexity import ccnet_ppl_buckets
+
+    model = load_model(_demo_quality_model_path())
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    scored = model_quality_filter(
+        docs, logit_dim_df(spark, model), min_prob=0.5
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    tiered = ccnet_ppl_buckets(
+        scored.where(F.col("n_toks") > 0)
+        .withColumn("q", -F.col("margin")),
+        ppl_col="q", exact=True,
+    )
+    unscored = (
+        scored.where(F.col("n_toks") == 0)
+        .withColumn("bucket", F.lit("unscored"))
+    )
+    return (
+        tiered.select("lang", "bucket", "margin")
+        .unionByName(unscored.select("lang", "bucket", "margin"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("margin").alias("min_margin"),
+            F.max("margin").alias("max_margin"),
+        )
+    )
+
+
 def q_bpe_packing(spark, sf_dir):
     """Composition: tokenizer-true sequence packing — learn BPE merges,
     count each doc's tokens under the learned segmentation (distinct-word
@@ -2325,16 +2363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 14
-    # group-(1) entries the cap lands after ann_topk, so the r4-recorded
-    # tail (langid_dist .. duplicated_spans) falls past the cap this
-    # round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 15
+    # group-(1) entries the cap lands after sequence_packing, so the
+    # r4-recorded tail (ann_topk .. duplicated_spans) falls past the cap
+    # this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
         "bpe_packing": q_bpe_packing,
+        "model_quality_buckets": q_model_quality_buckets,
         "crawl_politeness": q_crawl_politeness,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
@@ -2384,11 +2423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "event_rate_windows": q_event_rate_windows,
         "sequence_packing": q_sequence_packing,
-        "ann_topk": q_ann_topk,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "ann_topk": q_ann_topk,
         "langid_dist": q_langid_dist,
         "gopher_quality": q_gopher_quality,
         "gopher_repetition": q_gopher_repetition,
@@ -3880,24 +3919,23 @@ WITH corpus AS ({src}
 )"""
 
 
-def _model_quality_oracle_sql() -> str:
-    """Full SQL restatement (NOT a twin pin): the quantized word-logit
-    table is emitted as VALUES and DuckDB re-runs the tokenize/join/
-    aggregate itself. Bit-equality holds because the logits are 2^-20
-    dyadics (order-free exact sums) and the margin is computed with the
+def _model_margin_ctes() -> str:
+    """Shared CTE chain for the model-tier oracles: the quantized
+    word-logit table as VALUES, DuckDB's own tokenize/join/aggregate, and
+    per-doc (n_toks, margin). Bit-equality holds because the logits are
+    2^-20 dyadics (order-free exact sums) and the margin uses the
     identical (s0/n) - (s1/n) operation order on both engines."""
     from linguistjs_spark.fasttext_bin import load_model
     from linguistjs_spark.operators.model_filter import (
-        FASTTEXT_WS_RE, margin_threshold, word_logit_rows)
+        FASTTEXT_WS_RE, word_logit_rows)
 
     model = load_model(_demo_quality_model_path())
     rows = word_logit_rows(model)
     vals = ", ".join(
         f"({_sql_str(w)}, {l[0]!r}, {l[1]!r})" for w, l in rows
     )
-    thr = repr(margin_threshold(0.6))
     return f"""
-WITH L(word, l0, l1) AS (VALUES {vals}),
+L(word, l0, l1) AS (VALUES {vals}),
 t AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(text, '{FASTTEXT_WS_RE}'),
@@ -3909,15 +3947,45 @@ m AS (
          sum(L.l0) AS s0, sum(L.l1) AS s1
   FROM t LEFT JOIN L USING (word)
   GROUP BY t.doc_id
-)
-SELECT d.doc_id,
-       CAST(COALESCE(m.n_toks, 0) AS BIGINT) AS n_toks,
-       CASE WHEN m.n_toks > 0
-            THEN (m.s0 / m.n_toks) - (m.s1 / m.n_toks) END AS margin,
-       COALESCE(m.n_toks > 0 AND
-                ((m.s0 / m.n_toks) - (m.s1 / m.n_toks)) >= {thr},
-                FALSE) AS keep
-FROM documents d LEFT JOIN m USING (doc_id)
+),
+s AS (
+  SELECT d.*, COALESCE(m.n_toks, 0) AS n_toks,
+         CASE WHEN m.n_toks > 0
+              THEN (m.s0 / m.n_toks) - (m.s1 / m.n_toks) END AS margin
+  FROM documents d LEFT JOIN m USING (doc_id)
+)"""
+
+
+def _model_quality_oracle_sql() -> str:
+    """Full SQL restatement (NOT a twin pin) — see _model_margin_ctes."""
+    from linguistjs_spark.operators.model_filter import margin_threshold
+
+    thr = repr(margin_threshold(0.6))
+    return f"""
+WITH {_model_margin_ctes()}
+SELECT doc_id,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       margin,
+       COALESCE(n_toks > 0 AND margin >= {thr}, FALSE) AS keep
+FROM s
+"""
+
+
+def _model_quality_buckets_oracle_sql() -> str:
+    return f"""
+WITH {_model_margin_ctes()},
+tiers AS (
+  SELECT lang, margin,
+         CASE NTILE(3) OVER (PARTITION BY lang
+                             ORDER BY (0 - margin), doc_id)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM s WHERE n_toks > 0),
+uns AS (SELECT lang, margin, 'unscored' AS bucket FROM s WHERE n_toks = 0)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       MIN(margin) AS min_margin, MAX(margin) AS max_margin
+FROM (SELECT * FROM tiers UNION ALL SELECT * FROM uns)
+GROUP BY lang, bucket
 """
 
 
@@ -4018,6 +4086,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "model_quality": _model_quality_oracle_sql(),
         "bpe_packing": _bpe_packing_oracle_sql(),
+        "model_quality_buckets": _model_quality_buckets_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),
         "crawl_politeness": f"""
