@@ -2324,6 +2324,26 @@ def q_model_quality_buckets(spark, sf_dir):
     )
 
 
+# Fixed retrieval query for the BM25 leg: six in-vocab terms from the
+# documents fixture vocabulary plus one guaranteed-absent term (pins the
+# df=0 branch: it must contribute nothing, not NaN/NULL-poison the score).
+_BM25_TERMS = [
+    "spark", "window", "merge", "vector", "customer", "stream", "zzzunseen",
+]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Lexical retrieval: Okapi BM25 top-k over the documents table
+    (operators/retrieval.py). Scale shape: one let-bound token projection
+    (no explode, text never shuffles), ONE 1-row corpus aggregate
+    broadcast back, codegen score fold, TakeOrderedAndProject for the
+    top-k. The quantized-ln determinism contract makes the DuckDB
+    restatement hash-match bit-for-bit."""
+    from linguistjs_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=25)
+
+
 def q_bpe_packing(spark, sf_dir):
     """Composition: tokenizer-true sequence packing — learn BPE merges,
     count each doc's tokens under the learned segmentation (distinct-word
@@ -2363,10 +2383,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 15
-    # group-(1) entries the cap lands after sequence_packing, so the
-    # r4-recorded tail (ann_topk .. duplicated_spans) falls past the cap
-    # this round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 16
+    # group-(1) entries the cap lands after event_rate_windows, so the
+    # r4-recorded tail (sequence_packing .. duplicated_spans) falls past
+    # the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
@@ -2374,6 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": q_bpe_token_counts,
         "bpe_packing": q_bpe_packing,
         "model_quality_buckets": q_model_quality_buckets,
+        "bm25_topk": q_bm25_topk,
         "crawl_politeness": q_crawl_politeness,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
@@ -2422,11 +2443,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "user_sessions": q_user_sessions,
         "event_rate_windows": q_event_rate_windows,
-        "sequence_packing": q_sequence_packing,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "sequence_packing": q_sequence_packing,
         "ann_topk": q_ann_topk,
         "langid_dist": q_langid_dist,
         "gopher_quality": q_gopher_quality,
@@ -4083,9 +4104,12 @@ FROM p GROUP BY bucket
 
 
 def oracle_sql() -> dict[str, str]:
+    from linguistjs_spark.operators.retrieval import bm25_oracle_sql
+
     return {
         "model_quality": _model_quality_oracle_sql(),
         "bpe_packing": _bpe_packing_oracle_sql(),
+        "bm25_topk": bm25_oracle_sql(_BM25_TERMS, k=25),
         "model_quality_buckets": _model_quality_buckets_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),

@@ -598,6 +598,32 @@ def main() -> None:
             lambda: lambda: _robots_job(),
         )
 
+        # round-5 op: Okapi BM25 retrieval scoring at pipeline volume —
+        # REPLICATE×docs with distinct doc_ids, 7-term query. One
+        # let-bound token projection (no explode), ONE 1-row corpus
+        # aggregate broadcast back, codegen score fold, then the
+        # TakeOrderedAndProject top-k. Text never shuffles.
+        from linguistjs_spark.operators.retrieval import bm25_topk
+
+        def _bm25_docs():
+            d = fresh_docs()
+            rep = spark.range(REPLICATE).select(F.col("id").alias("_rep"))
+            return d.crossJoin(F.broadcast(rep)).select(
+                (F.col("doc_id") + F.col("_rep") * F.lit(1_000_000))
+                .alias("doc_id"),
+                "text",
+            )
+
+        run_leg(
+            "bm25_topk", queries, queries_host,
+            lambda: lambda: bm25_topk(
+                _bm25_docs(),
+                ["spark", "window", "merge", "vector", "customer",
+                 "stream", "zzzunseen"],
+                k=25,
+            ).collect(),
+        )
+
         # round-4 op: iterative link-graph machinery at scale — synthetic
         # domain graph (Zipf-ish in-degree via a squared hash), weighted
         # PageRank iterations. Measures the per-iteration keyed join +
