@@ -2344,6 +2344,68 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=25)
 
 
+def q_readability_bands(spark, sf_dir):
+    """Per-language readability profile: Flesch–Kincaid grade bands
+    (text_stats.fk_grade_col/fk_band_col) over the documents table —
+    the FineWeb-Edu-style "instructive prose" signal as pure codegen
+    (three whole-text regexp_count scans, no transcendentals, so the
+    grade is cross-engine bit-exact with NO quantization). min/max
+    grades per band are order-free exact; one rollup shuffle total."""
+    from linguistjs_spark.operators.text_stats import (
+        fk_band_col, fk_grade_col)
+
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "lang", fk_grade_col(F.col("text")).alias("grade"))
+    return (
+        g.select("lang", "grade", fk_band_col(F.col("grade")).alias("band"))
+        .groupBy("lang", "band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("grade").alias("min_grade"),
+            F.max("grade").alias("max_grade"),
+        )
+    )
+
+
+def _readability_oracle_sql() -> str:
+    """Same three regexp counts, same operation ORDER in the grade
+    arithmetic (no transcendentals -> bit-identical doubles), same
+    band CASE order. Patterns interpolated from the module so the two
+    engines can never drift."""
+    from linguistjs_spark.operators.text_stats import (
+        SENTENCE_END_PAT, VOWEL_RUN_PAT, _FK_C, _FK_S, _FK_W)
+    from linguistjs_spark.operators.quality import _WORD_RUN_PAT
+
+    w = f"CAST(len(regexp_extract_all(text, '{_WORD_RUN_PAT}')) AS DOUBLE)"
+    s = (f"greatest(CAST(len(regexp_extract_all(text, "
+         f"'{SENTENCE_END_PAT}')) AS DOUBLE), 1.0)")
+    y = (f"CAST(len(regexp_extract_all(lower(text), "
+         f"'{VOWEL_RUN_PAT}')) AS DOUBLE)")
+    return f"""
+WITH g AS (
+  SELECT lang,
+         CASE WHEN {w} > 0
+              THEN {_FK_W!r} * ({w} / {s}) + {_FK_S!r} * ({y} / {w})
+                   - {_FK_C!r}
+         END AS grade
+  FROM documents
+),
+b AS (
+  SELECT lang, grade,
+         CASE WHEN grade IS NULL THEN 'nontext'
+              WHEN grade < 6 THEN 'elementary'
+              WHEN grade < 9 THEN 'middle'
+              WHEN grade < 13 THEN 'high'
+              ELSE 'college' END AS band
+  FROM g
+)
+SELECT lang, band, COUNT(*) AS n_docs,
+       MIN(grade) AS min_grade, MAX(grade) AS max_grade
+FROM b GROUP BY lang, band
+"""
+
+
 def q_bpe_packing(spark, sf_dir):
     """Composition: tokenizer-true sequence packing — learn BPE merges,
     count each doc's tokens under the learned segmentation (distinct-word
@@ -2383,10 +2445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 16
-    # group-(1) entries the cap lands after event_rate_windows, so the
-    # r4-recorded tail (sequence_packing .. duplicated_spans) falls past
-    # the cap this round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 17
+    # group-(1) entries the cap lands after user_sessions, so the
+    # r4-recorded tail (event_rate_windows .. duplicated_spans) falls
+    # past the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
@@ -2395,6 +2457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_packing": q_bpe_packing,
         "model_quality_buckets": q_model_quality_buckets,
         "bm25_topk": q_bm25_topk,
+        "readability_bands": q_readability_bands,
         "crawl_politeness": q_crawl_politeness,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
@@ -2442,11 +2505,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "user_sessions": q_user_sessions,
-        "event_rate_windows": q_event_rate_windows,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "event_rate_windows": q_event_rate_windows,
         "sequence_packing": q_sequence_packing,
         "ann_topk": q_ann_topk,
         "langid_dist": q_langid_dist,
@@ -4110,6 +4173,7 @@ def oracle_sql() -> dict[str, str]:
         "model_quality": _model_quality_oracle_sql(),
         "bpe_packing": _bpe_packing_oracle_sql(),
         "bm25_topk": bm25_oracle_sql(_BM25_TERMS, k=25),
+        "readability_bands": _readability_oracle_sql(),
         "model_quality_buckets": _model_quality_buckets_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),

@@ -36,6 +36,56 @@ def fingerprint_col(text: Column) -> Column:
     return F.xxhash64(F.trim(norm))
 
 
+# Flesch–Kincaid readability (Kincaid et al. 1975): a standard web-text
+# quality/education signal (the FineWeb-Edu-style "is this instructive
+# prose" family). Whole-text regexp_count scans only — no arrays, no UDF,
+# and no transcendentals, so the value is cross-engine bit-exact from the
+# three integer counts with NO quantization needed (IEEE +,-,*,/ on
+# identical doubles in identical order).
+SENTENCE_END_PAT = r"[.!?]+"
+# syllable proxy: vowel GROUPS per lowercased text (the classic
+# vowel-run approximation; 'y' counts as a vowel)
+VOWEL_RUN_PAT = r"[aeiouy]+"
+
+_FK_W = 0.39
+_FK_S = 11.8
+_FK_C = 15.59
+
+
+def fk_grade_col(text: Column) -> Column:
+    """Flesch–Kincaid grade level; NULL when the document has no words.
+
+    grade = 0.39*(words/sentences) + 11.8*(syllables/words) - 15.59,
+    with sentences floored at 1 (a fragment without terminal punctuation
+    is one sentence). Restate in SQL with the same operation order for
+    bit-identical doubles."""
+    words = F.regexp_count(text, F.lit(_WORD_RUN_PAT)).cast("double")
+    sents = F.greatest(
+        F.regexp_count(text, F.lit(SENTENCE_END_PAT)).cast("double"),
+        F.lit(1.0),
+    )
+    syls = F.regexp_count(F.lower(text), F.lit(VOWEL_RUN_PAT)).cast("double")
+    grade = (
+        F.lit(_FK_W) * (words / sents)
+        + F.lit(_FK_S) * (syls / words)
+        - F.lit(_FK_C)
+    )
+    return F.when(words > 0, grade)
+
+
+def fk_band_col(grade: Column) -> Column:
+    """Readability band from the FK grade: elementary (<6), middle
+    (<9), high (<13), college (>=13), or 'nontext' for NULL grades
+    (no words — NULL text included)."""
+    return (
+        F.when(grade.isNull(), F.lit("nontext"))
+        .when(grade < 6, F.lit("elementary"))
+        .when(grade < 9, F.lit("middle"))
+        .when(grade < 13, F.lit("high"))
+        .otherwise(F.lit("college"))
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stat frame over a documents-shaped table."""
     t = F.col(text_col)
