@@ -11,6 +11,8 @@ import math
 import re
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from linguistjs_spark.operators.retrieval import (
@@ -131,6 +133,42 @@ def test_bm25_plan_shape(docs):
     # the only join is the 1-row broadcast corpus-stats join
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+_frag = st.one_of(
+    st.text(alphabet="ab1 xy\n\t.!?", min_size=0, max_size=30),
+    st.sampled_from([
+        "the quick fox", "a a a a", "SPARK Spark spark", "x1 x1 y2",
+        "merge;merge,merge", "", "   ", "§±µ 🎉", "zzzunseen",
+        "vector_x vector", "0 1 2 3 4 5",
+    ]),
+)
+
+_texts = st.lists(
+    st.builds(lambda parts: " ".join(parts), st.lists(_frag, max_size=6)),
+    min_size=1,
+    max_size=12,
+)
+_FUZZ_TERMS = ["a", "the", "spark", "merge", "x1", "zzzunseen"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_texts)
+def test_bm25_scores_fuzz(spark, batch):
+    rows = [(i, t) for i, t in enumerate(batch)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    twin = _twin(rows, _FUZZ_TERMS)
+    got = {
+        r["doc_id"]: r for r in bm25_scores(df, _FUZZ_TERMS).collect()
+    }
+    assert set(got) == set(twin)
+    for d, (dl, s) in twin.items():
+        assert got[d]["dl"] == dl, (d, batch[d])
+        assert got[d]["score"] == s, (d, batch[d], got[d]["score"], s)
 
 
 def test_bm25_validation():
