@@ -2344,6 +2344,20 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=25)
 
 
+def q_keywords_topk(spark, sf_dir):
+    """Per-document top-3 tf-idf keywords (retrieval.keyword_topk) —
+    the UNBOUNDED-vocab inverted-index shape: postings groupBy, term-
+    dictionary groupBy, a real keyed join on term (vocab-sized dim, NOT
+    broadcastable at corpus scale), integer df-ratio stopword gate,
+    quantized-ln tfidf, per-doc window top-k with term tiebreak. The
+    fixture's salad vocabulary makes most terms exceed the 50% df gate,
+    so surviving rows pin the RARE-term path specifically."""
+    from linguistjs_spark.operators.retrieval import keyword_topk
+
+    return keyword_topk(
+        _docs(spark, sf_dir).select("doc_id", "text"), k=3)
+
+
 def q_readability_bands(spark, sf_dir):
     """Per-language readability profile: Flesch–Kincaid grade bands
     (text_stats.fk_grade_col/fk_band_col) over the documents table —
@@ -2445,10 +2459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 17
-    # group-(1) entries the cap lands after user_sessions, so the
-    # r4-recorded tail (event_rate_windows .. duplicated_spans) falls
-    # past the cap this round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 18
+    # group-(1) entries the cap lands after cross_corpus_dedup, so the
+    # r4-recorded tail (user_sessions .. duplicated_spans) falls past
+    # the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "model_quality": q_model_quality,
@@ -2458,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_quality_buckets": q_model_quality_buckets,
         "bm25_topk": q_bm25_topk,
         "readability_bands": q_readability_bands,
+        "keywords_topk": q_keywords_topk,
         "crawl_politeness": q_crawl_politeness,
         "robots_rules": q_robots_rules,
         "robots_disallow": q_robots_disallow,
@@ -2504,11 +2519,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_langs": q_top_langs,
         "ccnet_buckets": q_ccnet_buckets,
         "cross_corpus_dedup": q_cross_corpus_dedup,
-        "user_sessions": q_user_sessions,
         # -- the driver's 50-row cap lands here (entries below were all
         #    hash-green in CORRECTNESS_r04 and rotate back to the front of
         #    group (2) next round; tests/test_entry_queries.py sweeps them
         #    against DuckDB every run regardless) --
+        "user_sessions": q_user_sessions,
         "event_rate_windows": q_event_rate_windows,
         "sequence_packing": q_sequence_packing,
         "ann_topk": q_ann_topk,
@@ -4167,13 +4182,15 @@ FROM p GROUP BY bucket
 
 
 def oracle_sql() -> dict[str, str]:
-    from linguistjs_spark.operators.retrieval import bm25_oracle_sql
+    from linguistjs_spark.operators.retrieval import (
+        bm25_oracle_sql, keyword_topk_oracle_sql)
 
     return {
         "model_quality": _model_quality_oracle_sql(),
         "bpe_packing": _bpe_packing_oracle_sql(),
         "bm25_topk": bm25_oracle_sql(_BM25_TERMS, k=25),
         "readability_bands": _readability_oracle_sql(),
+        "keywords_topk": keyword_topk_oracle_sql(k=3),
         "model_quality_buckets": _model_quality_buckets_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_token_counts": _bpe_token_counts_oracle_sql(),

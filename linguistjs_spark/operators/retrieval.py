@@ -181,6 +181,112 @@ def bm25_topk(
     )
 
 
+def keyword_topk(
+    docs: DataFrame,
+    k: int = 3,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the UNBOUNDED-vocab
+    complement to bm25_topk's bounded-query shape.
+
+    Plan (the honest inverted-index pipeline at 10^12 docs):
+      1. explode tokens -> groupBy(doc_id, term) count  [shuffle 1: the
+         posting-list build; map-side combine collapses in-doc repeats]
+      2. groupBy(term) count -> df                      [shuffle 2: term
+         dictionary; orders of magnitude smaller than postings]
+      3. corpus N as a 1-row broadcast
+      4. postings JOIN df on term — a real keyed shuffle join (the term
+         dictionary is vocab-sized: NOT broadcastable at corpus scale)
+      5. stopword suppression by integer document-frequency ratio:
+         keep iff df * max_df_den <= N * max_df_num (exact, no floats)
+      6. tfidf = tf * qd(ln(N/df)) — integer x 2^-20 dyadic, exact in
+         float64 (no cross-row float aggregation anywhere)
+      7. per-doc window top-k, ties broken by term — deterministic
+
+    Returns (doc_id, term, tf, tfidf, rank). Documents with no kept
+    term (NULL/empty text, or all terms too frequent) are absent.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(doc_id_col),
+            F.explode(tokens_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy(doc_id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .where(F.col("df") * F.lit(max_df_den)
+               <= F.col("n_docs") * F.lit(max_df_num))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * _qd(F.log(F.col("n_docs").cast("double")
+                        / F.col("df").cast("double"))),
+        )
+    )
+    w = Window.partitionBy(doc_id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(doc_id_col, "term", "tf", "tfidf", "rank")
+    )
+
+
+def keyword_topk_oracle_sql(
+    k: int = 3,
+    max_df_num: int = 1,
+    max_df_den: int = 2,
+    source: str = "documents",
+) -> str:
+    """DuckDB restatement of keyword_topk: same tokenizer, same integer
+    df-ratio gate, same quantized-ln tfidf, same (tfidf desc, term)
+    window order."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                   '{TOKEN_PAT}')) AS term
+  FROM {source}
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {source}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(tf.tf AS DOUBLE) *
+           (round(ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+                  * 1048576.0) / 1048576.0) AS tfidf
+  FROM tf JOIN df USING (term), n
+  WHERE df.df * {max_df_den} <= n.n_docs * {max_df_num}
+),
+ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def bm25_oracle_sql(
     terms: list[str],
     k: int = 25,

@@ -171,6 +171,58 @@ def test_bm25_scores_fuzz(spark, batch):
         assert got[d]["score"] == s, (d, batch[d], got[d]["score"], s)
 
 
+def _kw_twin(rows, k=3, num=1, den=2):
+    from collections import Counter
+
+    tf = {d: Counter(re.findall(TOKEN_PAT, (t or "").lower()))
+          for d, t in rows}
+    dfc = Counter()
+    for c in tf.values():
+        for term in c:
+            dfc[term] += 1
+    n = len(rows)
+    out = []
+    for d, c in tf.items():
+        cand = [
+            (term, f, float(f) * _qd(math.log(float(n) / float(dfc[term]))))
+            for term, f in c.items() if dfc[term] * den <= n * num
+        ]
+        cand.sort(key=lambda x: (-x[2], x[0]))
+        out.extend((d, t, f, s, r) for r, (t, f, s) in enumerate(cand[:k], 1))
+    return sorted(out)
+
+
+def test_keyword_topk_matches_twin(spark):
+    from linguistjs_spark.operators.retrieval import keyword_topk
+
+    rows = [
+        (0, "rare unique apple apple banana the the the"),
+        (1, "the the common words common here"),
+        (2, None),                          # absent from output
+        (3, ""),                            # absent from output
+        (4, "the zebra"),                   # 'the' df-gated (in 5/6 docs)
+        (5, "the common banana xylophone xylophone xylophone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["term"], r["tf"], r["tfidf"], r["rank"])
+        for r in keyword_topk(df, k=3).collect()
+    )
+    want = _kw_twin(rows)
+    assert got == want
+    # 'the' occurs in 4 of 6 docs -> df*2 > N -> never a keyword
+    assert all(t != "the" for _, t, _, _, _ in got)
+    # NULL/empty docs produce no rows
+    assert all(d not in (2, 3) for d, *_ in got)
+    # tf weighting: doc 5's triple xylophone outranks its single banana
+    d5 = [t for d, t, _, _, r in
+          sorted(got, key=lambda x: (x[0], x[4])) if d == 5]
+    assert d5[0] == "xylophone"
+    # no python UDF in the plan
+    plan = keyword_topk(df, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
 def test_bm25_validation():
     with pytest.raises(ValueError):
         term_frequencies(None, [])
