@@ -624,6 +624,18 @@ def main() -> None:
             ).collect(),
         )
 
+        # round-5 op: tf-idf keyword extraction at pipeline volume — the
+        # UNBOUNDED-vocab inverted-index pipeline (explode -> postings
+        # groupBy -> term-dictionary groupBy -> keyed join on term ->
+        # window top-k). The heavy leg by design: ~8M posting rows from
+        # 80k docs; measures the posting shuffle the BM25 leg avoids.
+        from linguistjs_spark.operators.retrieval import keyword_topk
+
+        run_leg(
+            "keywords_topk", queries, queries_host,
+            lambda: lambda: keyword_topk(_bm25_docs(), k=3).count(),
+        )
+
         # round-4 op: iterative link-graph machinery at scale — synthetic
         # domain graph (Zipf-ish in-degree via a squared hash), weighted
         # PageRank iterations. Measures the per-iteration keyed join +
