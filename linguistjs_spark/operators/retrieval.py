@@ -49,6 +49,23 @@ K1 = 1.2
 B = 0.75
 
 
+def _validate_terms(terms: list[str]) -> None:
+    """Query terms must be tokenizer-shaped (lowercase alphanumeric):
+    anything else can never equal a token, so a mixed-case or
+    punctuated term is a silent always-zero bug — and would also break
+    the oracle restatement's SQL literals."""
+    import re
+
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+    bad = [t for t in terms if not re.fullmatch(TOKEN_PAT, t)]
+    if bad:
+        raise ValueError(
+            f"terms must be lowercase alphanumeric tokens: {bad!r}")
+
+
 def tokens_col(text: Column) -> Column:
     """Lowercased alphanumeric token array; NULL text -> empty array."""
     return F.regexp_extract_all(
@@ -74,10 +91,7 @@ def term_frequencies(
     not CSE'd — see dedup._let).  dl counts ALL tokens, not just query
     terms (BM25's length normalization needs the true document length).
     """
-    if not terms:
-        raise ValueError("terms must be non-empty")
-    if len(set(terms)) != len(terms):
-        raise ValueError("terms must be distinct")
+    _validate_terms(terms)
 
     def eq(term: str):
         # closure factory, NOT `lambda x, t=t`: pyspark counts a HOF
@@ -299,6 +313,7 @@ def bm25_oracle_sql(
     Same tokenizer regex, same list_filter tf, same 1-row corpus CTE,
     same quantized-ln score algebra (see module docstring for why the
     result hash-matches bit-for-bit)."""
+    _validate_terms(terms)
     tf_cols = ",\n         ".join(
         f"CAST(len(list_filter(ts, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
         for i, t in enumerate(terms)

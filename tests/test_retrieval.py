@@ -228,3 +228,8 @@ def test_bm25_validation():
         term_frequencies(None, [])
     with pytest.raises(ValueError):
         term_frequencies(None, ["a", "a"])
+    # non-tokenizer-shaped terms can never match a token: reject loudly
+    # instead of silently scoring zero (and breaking the oracle literal)
+    for bad in (["Spark"], ["o'brien"], ["two words"], [""]):
+        with pytest.raises(ValueError):
+            term_frequencies(None, bad)
