@@ -1512,6 +1512,15 @@ def q_crawl_delta(spark, sf_dir):
     as a FULL OUTER join on the url string."""
     import linguistjs_spark.operators.url_ops as U
 
+    old, new = _delta_snapshots(spark, sf_dir)
+    return U.crawl_delta(old, new).orderBy("url_canon")
+
+
+def _delta_snapshots(spark, sf_dir):
+    """The crawl_delta fixture's two snapshots (shared by snapshot_merge):
+    url space = ids mod 120, old = residues 0,1, new = residues 1,2 with
+    every 7th doc's text mutated; ts = 1.6e9 + doc_id (unique, so the
+    within-snapshot winner is always the largest doc_id in the group)."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     url = F.concat(
         F.lit("https://delta.example/u/"),
@@ -1524,7 +1533,24 @@ def q_crawl_delta(spark, sf_dir):
         "text",
         F.when(F.col("doc_id") % 7 == 0,
                F.concat("text", F.lit("!"))).otherwise(F.col("text")))
-    return U.crawl_delta(old, new).orderBy("url_canon")
+    return old, new
+
+
+def q_snapshot_merge(spark, sf_dir):
+    """MERGE-INTO-shaped snapshot upsert (the write side of crawl_delta):
+    the merged table after applying the new crawl to the base — carried
+    rows keep the base warc_ts (the no-rewrite property), inserted/updated
+    take the new row, gone rows surface as tombstones (keep_gone=True so
+    the oracle sees every origin). Text is md5-fingerprinted before any
+    shuffle; the oracle restates both winner picks as ROW_NUMBER windows
+    and the merge as one FULL OUTER join."""
+    import linguistjs_spark.operators.url_ops as U
+
+    old, new = _delta_snapshots(spark, sf_dir)
+    return U.snapshot_merge(old, new, keep_gone=True).select(
+        "url_canon", "origin",
+        F.unix_timestamp("warc_ts").alias("ts"), "fp",
+    ).orderBy("url_canon")
 
 
 def q_gopher_repetition(spark, sf_dir):
@@ -2459,12 +2485,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 18
-    # group-(1) entries the cap lands after cross_corpus_dedup, so the
-    # r4-recorded tail (user_sessions .. duplicated_spans) falls past
-    # the cap this round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 19
+    # group-(1) entries the cap lands after ccnet_buckets, so the
+    # r4-recorded tail (cross_corpus_dedup, user_sessions ..
+    # duplicated_spans) falls past the cap this round — all hash-green in
+    # CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
+        "snapshot_merge": q_snapshot_merge,
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3178,6 +3206,46 @@ SELECT coalesce(o.url, n.url) AS url_canon,
             ELSE 'changed' END AS status,
        fp_old, fp_new
 FROM o FULL OUTER JOIN n ON o.url = n.url
+ORDER BY url_canon
+"""
+
+_SNAPSHOT_MERGE_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         'https://delta.example/u/' || CAST(doc_id % 120 AS VARCHAR) AS url,
+         to_timestamp(1600000000 + doc_id) AS ts,
+         text
+  FROM documents
+),
+old_w AS (
+  SELECT url, ts, md5(coalesce(text, '')) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+  FROM base WHERE doc_id % 3 <> 2
+),
+new_w AS (
+  SELECT url, ts,
+         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || '!'
+                           ELSE text END, '')) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts DESC) AS rn
+  FROM base WHERE doc_id % 3 <> 0
+),
+o AS (SELECT url, ts AS ts_old, fp AS fp_old FROM old_w WHERE rn = 1),
+n AS (SELECT url, ts AS ts_new, fp AS fp_new FROM new_w WHERE rn = 1),
+j AS (
+  SELECT coalesce(o.url, n.url) AS url_canon,
+         CASE WHEN fp_old IS NULL THEN 'inserted'
+              WHEN fp_new IS NULL THEN 'gone'
+              WHEN fp_old = fp_new THEN 'carried'
+              ELSE 'updated' END AS origin,
+         ts_old, ts_new, fp_old, fp_new
+  FROM o FULL OUTER JOIN n ON o.url = n.url
+)
+SELECT url_canon, origin,
+       CAST(epoch(CASE WHEN origin IN ('inserted', 'updated') THEN ts_new
+                       ELSE ts_old END) AS BIGINT) AS ts,
+       CASE WHEN origin IN ('inserted', 'updated') THEN fp_new
+            ELSE fp_old END AS fp
+FROM j
 ORDER BY url_canon
 """
 
@@ -4554,6 +4622,7 @@ FROM documents WHERE doc_id % 20 = 0
         "dedup_keep_policy": _dedup_keep_policy_sql(),
         "domain_quality": _domain_quality_oracle_sql(),
         "crawl_delta": _CRAWL_DELTA_SQL,
+        "snapshot_merge": _SNAPSHOT_MERGE_SQL,
         "fitted_perplexity": _fitted_perplexity_oracle_sql(),
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "repetition_scores": _REPETITION_SQL,

@@ -144,6 +144,77 @@ def crawl_delta(
                          "fp_old", "fp_new")
 
 
+def snapshot_merge(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    keep_gone: bool = False,
+) -> DataFrame:
+    """MERGE-INTO-shaped snapshot upsert: apply a new crawl snapshot to a
+    base snapshot and emit the merged table — the write side of the
+    incremental story whose read side is :func:`crawl_delta`.
+
+    Per canonical URL the merged row's ``origin`` records what the merge
+    did:
+
+      * ``inserted`` — URL is new: take the new snapshot's row,
+      * ``updated``  — text changed (md5 fingerprints differ): take the
+        new row,
+      * ``carried``  — text byte-identical: keep the BASE row (its
+        ``warc_ts`` is preserved, so unchanged pages are not rewritten —
+        the property that makes the merge cheap under Iceberg-style
+        copy-on-write, where only changed partitions produce new files),
+      * ``gone``     — URL dropped from the crawl: excluded unless
+        ``keep_gone=True`` (soft-delete tombstones for audit).
+
+    Returns (url_canon, origin, warc_ts, fp) — ``fp`` is the winning
+    row's md5 text fingerprint, the join-back key a caller uses to fetch
+    the full document from whichever snapshot ``origin`` points at.
+
+    Scale shape — identical to ``crawl_delta``'s contract: each side is
+    first collapsed by ``url_dedup`` over rows ALREADY reduced to
+    (url, ts, 32-char fingerprint) — text never shuffles — then ONE
+    full_outer equi-join on the canonical string. All three exchanges
+    hash-partition on ``url_canon``, so AQE plans the join shuffle-free
+    on the dedup outputs' existing partitioning, and writing the merged
+    table partitioned by url-hash bucket keeps the next round's merge
+    co-located too."""
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        slim = df.select(
+            F.col(url_col),
+            F.col(ts_col),
+            F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        )
+        return url_dedup(slim, url_col=url_col, ts_col=ts_col).select(
+            "url_canon",
+            F.col(ts_col).alias(f"ts_{side}"),
+            F.col("_fp").alias(f"fp_{side}"),
+        )
+
+    j = prep(old, "old").join(prep(new, "new"), "url_canon", "full_outer")
+    origin = (
+        F.when(F.col("fp_old").isNull(), F.lit("inserted"))
+        .when(F.col("fp_new").isNull(), F.lit("gone"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("carried"))
+        .otherwise(F.lit("updated"))
+    )
+    j = j.withColumn("origin", origin)
+    take_new = F.col("origin").isin("inserted", "updated")
+    merged = j.select(
+        "url_canon",
+        "origin",
+        F.when(take_new, F.col("ts_new")).otherwise(F.col("ts_old"))
+         .alias(ts_col),
+        F.when(take_new, F.col("fp_new")).otherwise(F.col("fp_old"))
+         .alias("fp"),
+    )
+    if not keep_gone:
+        merged = merged.filter(F.col("origin") != "gone")
+    return merged
+
+
 def domain_rollup(
     pages: DataFrame,
     url_col: str = "url",

@@ -276,3 +276,66 @@ def test_politeness_single_window_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     for marker in ("BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan
+
+
+def test_snapshot_merge_origins_and_winner_rows(spark):
+    """All four origins; carried rows keep the BASE row's warc_ts (the
+    no-rewrite property), inserted/updated take the new row's; gone rows
+    are dropped by default and tombstoned under keep_gone=True."""
+    import datetime as dt
+
+    from linguistjs_spark.operators.url_ops import snapshot_merge
+
+    t0 = dt.datetime(2020, 1, 1)
+
+    def row(url, sec, text):
+        return (url, t0 + dt.timedelta(seconds=sec), text)
+
+    old = spark.createDataFrame(
+        [
+            row("https://e.x/same", 1, "alpha"),
+            row("https://e.x/diff", 2, "beta"),
+            row("https://e.x/gone", 3, "omega"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            row("https://e.x/same", 9, "alpha"),
+            row("https://e.x/diff", 9, "beta2"),
+            row("https://e.x/fresh", 9, "hello"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    got = {r.url_canon: (r.origin, r.warc_ts)
+           for r in snapshot_merge(old, new).collect()}
+    assert set(got) == {
+        "https://e.x/same", "https://e.x/diff", "https://e.x/fresh"}
+    assert got["https://e.x/same"] == ("carried", t0 + dt.timedelta(seconds=1))
+    assert got["https://e.x/diff"] == ("updated", t0 + dt.timedelta(seconds=9))
+    assert got["https://e.x/fresh"] == (
+        "inserted", t0 + dt.timedelta(seconds=9))
+
+    with_gone = {r.url_canon: r.origin for r in
+                 snapshot_merge(old, new, keep_gone=True).collect()}
+    assert with_gone["https://e.x/gone"] == "gone"
+    assert len(with_gone) == 4
+
+
+def test_snapshot_merge_fingerprints_before_shuffle(spark):
+    """Same 100-TB contract as crawl_delta: text never rides an Exchange
+    — each side is reduced to (url, ts, md5) before its dedup shuffle."""
+    import datetime as dt
+
+    from linguistjs_spark.operators.url_ops import snapshot_merge
+
+    rows = [("https://e.x/a", dt.datetime(2020, 1, 1), "body")]
+    old = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    new = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    plan = (snapshot_merge(old, new)
+            ._jdf.queryExecution().executedPlan().toString())
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
