@@ -1102,6 +1102,33 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_bitext_mining(spark, sf_dir):
+    """Margin-based kNN bitext mining (Artetxe & Schwenk 2019) between an
+    even-id src side and an odd-id tgt side of the embeddings table, with
+    planted "translations" (exact scaled copies of src vec_id < 40 at
+    id + 1e6 — cosine-invariant, so each has cos 1.0 to its source). The
+    mutual-best margin criterion must recover the planted alignments and
+    reject hub pairs whose absolute cosine is high only because their
+    neighbourhood is. LSH-bucketed candidates, deterministic sort_array
+    folds for the kNN averages; oracle = literal VALUES from the
+    ann_twin.margin_knn_expected python twin."""
+    src = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.col("vec_id") % 2 == 0)
+    tgt = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.col("vec_id") % 2 == 1)
+    planted = src.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    out = SIM.margin_knn_pairs(
+        src, tgt.unionByName(planted), k=4, threshold=1.05, bits=8)
+    return out.select(
+        "src_id", "tgt_id",
+        F.round(F.col("cos"), 4).alias("cos_r"),
+        F.round(F.col("margin"), 4).alias("margin_r"),
+    ).orderBy("src_id")
+
+
 def q_dedup_cardinality(spark, sf_dir):
     # HLL++ scale path for dedup stats. The raw sketch value is engine-
     # specific, so the oracle-compared surface is (n_docs, exact distinct,
@@ -2485,14 +2512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 19
-    # group-(1) entries the cap lands after ccnet_buckets, so the
-    # r4-recorded tail (cross_corpus_dedup, user_sessions ..
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 20
+    # group-(1) entries the cap lands after top_langs, so the r4-recorded
+    # tail (ccnet_buckets, cross_corpus_dedup, user_sessions ..
     # duplicated_spans) falls past the cap this round — all hash-green in
     # CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
+        "bitext_mining": q_bitext_mining,
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3029,6 +3057,22 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(v AS BIGINT) AS vec_id, CAST(s AS DOUBLE) AS score_r "
         "FROM (VALUES {values}) t(v, s)",
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
+        "WHERE FALSE",
+    )
+
+
+def _bitext_mining_oracle_sql() -> str:
+    from linguistjs_spark.ann_twin import margin_knn_expected
+
+    rows = margin_knn_expected(_ORACLE_SF_DIR, k=4, threshold=1.05, bits=8,
+                               probe_hamming=1)
+    return _values_sql(
+        rows,
+        "SELECT CAST(s AS BIGINT) AS src_id, CAST(t AS BIGINT) AS tgt_id, "
+        "CAST(c AS DOUBLE) AS cos_r, CAST(m AS DOUBLE) AS margin_r "
+        "FROM (VALUES {values}) t(s, t, c, m)",
+        "SELECT CAST(NULL AS BIGINT) src_id, CAST(NULL AS BIGINT) tgt_id, "
+        "CAST(NULL AS DOUBLE) cos_r, CAST(NULL AS DOUBLE) margin_r "
         "WHERE FALSE",
     )
 
@@ -4576,6 +4620,7 @@ FROM p GROUP BY bucket
         "minhash_pairs": _MINHASH_PAIRS_SQL,
         "simhash_pairs": _simhash_pairs_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        "bitext_mining": _bitext_mining_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "boilerplate_stats": _boilerplate_oracle_sql(),

@@ -240,3 +240,85 @@ def semantic_dedup_expected(
         (vid, cid, vid not in dup_of, dup_of.get(vid))
         for vid, cid, _ in assigned
     ]
+
+
+def margin_knn_expected(
+    sf_dir: str,
+    k: int = 4,
+    threshold: float = 1.05,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    plant_below: int = 40,
+    plant_offset: int = 1_000_000,
+    plant_scale: float = 1.25,
+) -> list[tuple[int, int, float, float]]:
+    """similarity.margin_knn_pairs twin over q_bitext_mining's fixture:
+    src = even vec_ids, tgt = odd vec_ids plus planted "translations"
+    (plant_scale-scaled copies of src vec_id < plant_below at
+    id + plant_offset; the scale is a power-of-two fraction so planting is
+    exact in both engines). Candidate rule: bucket hamming <=
+    min(probe_hamming, 1) — the engine's probe fan-out XORs single bits,
+    so forward ∪ backward probing admits exactly the hamming<=1 pairs.
+    kNN half-averages fold in (cos asc, id asc) order to mirror the
+    engine's sort_array left fold bit-for-bit. Returns mutual-best
+    (src_id, tgt_id, round(cos,4), round(margin,4)) rows with
+    margin >= threshold."""
+    emb = load_embeddings(sf_dir)
+    src = [(vid, vec) for vid, vec in emb if vid % 2 == 0]
+    tgt = [(vid, vec) for vid, vec in emb if vid % 2 == 1]
+    tgt += [
+        (vid + plant_offset, [x * plant_scale for x in vec])
+        for vid, vec in src if vid < plant_below
+    ]
+    sb = {vid: oracle_hyperplane_bucket(vec, bits) for vid, vec in src}
+    tb = {vid: oracle_hyperplane_bucket(vec, bits) for vid, vec in tgt}
+    sv, tv = dict(src), dict(tgt)
+    ham = min(probe_hamming, 1)
+    cand = [
+        (x, y)
+        for x in sb for y in tb
+        if bin(sb[x] ^ tb[y]).count("1") <= ham
+    ]
+    cos = {(x, y): _cosine(sv[x], tv[y]) for x, y in cand}
+
+    def half_avgs(key_idx: int) -> dict[int, float]:
+        other_idx = 1 - key_idx
+        by: dict[int, list[int]] = {}
+        for e in cand:
+            by.setdefault(e[key_idx], []).append(e[other_idx])
+
+        def pair_cos(kk: int, o: int) -> float:
+            return cos[(kk, o)] if key_idx == 0 else cos[(o, kk)]
+
+        out = {}
+        for kk, others in by.items():
+            others.sort(key=lambda o: (-pair_cos(kk, o), o))
+            ns = sorted((pair_cos(kk, o), o) for o in others[:k])
+            s = 0.0
+            for sc, _ in ns:
+                s = s + sc
+            out[kk] = s / (2.0 * len(ns))
+        return out
+
+    hx = half_avgs(0)
+    hy = half_avgs(1)
+    margins: dict[tuple[int, int], float] = {}
+    for (x, y) in cand:
+        d = hx[x] + hy[y]
+        if d > 0:
+            margins[(x, y)] = cos[(x, y)] / d
+    best_f: dict[int, tuple[int, float]] = {}
+    best_b: dict[int, tuple[int, float]] = {}
+    for (x, y), mg in margins.items():
+        c = best_f.get(x)
+        if c is None or mg > c[1] or (mg == c[1] and y < c[0]):
+            best_f[x] = (y, mg)
+        c = best_b.get(y)
+        if c is None or mg > c[1] or (mg == c[1] and x < c[0]):
+            best_b[y] = (x, mg)
+    out = []
+    for x, (y, mg) in sorted(best_f.items()):
+        if best_b.get(y, (None, 0.0))[0] == x and mg >= threshold:
+            out.append(
+                (x, y, round_half_up(cos[(x, y)]), round_half_up(mg)))
+    return sorted(out)

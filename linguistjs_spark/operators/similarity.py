@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -342,4 +343,114 @@ def semantic_dedup(
             F.col("dup_of").isNull().alias("keep"),
             F.col("dup_of"),
         )
+    )
+
+
+def margin_knn_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based kNN pair mining (Artetxe & Schwenk 2019, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings" — the
+    CCMatrix/LASER bitext-mining criterion): score a candidate pair by its
+    cosine RELATIVE to each side's neighbourhood,
+
+        margin(x, y) = cos(x, y) / (avg_kNN(x)/2 + avg_kNN(y)/2),
+
+    and keep mutual-best pairs above a threshold. The ratio form cancels
+    hubness — a vector whose neighbourhood is uniformly hot no longer wins
+    every alignment — which is why absolute-cosine mining underperforms it.
+
+    Spark-first shape, no all-pairs anywhere:
+
+      1. candidate generation = the hyperplane-LSH bucket machinery
+         (``with_lsh_buckets``): each side explodes its bucket plus
+         hamming<=probe_hamming neighbour keys and equi-joins the OTHER
+         side's bucket, probing BOTH directions so the candidate set is
+         symmetric (pair present iff bucket hamming <= probe_hamming);
+      2. per-pair exact cosine — one codegen projection over the candidate
+         edges;
+      3. each side's kNN average = row_number window (cos desc, id asc)
+         over its candidate edges, then a DETERMINISTIC left fold over the
+         sort_array'd top-k (never a float groupBy-sum, whose accumulation
+         order would differ run-to-run and break oracle bit-parity);
+      4. margins on the edges, mutual-best via two more row_number windows.
+
+    Every stage is keyed by src/tgt id or the bounded bucket key; at 10^12
+    rows both indexes are written bucketed by `bucket` so step 1's join is
+    co-located, and the window stages shuffle (id, cos) edges, never
+    vectors. Returns (src_id, tgt_id, cos, margin) for mutual-best pairs
+    with margin >= threshold.
+    """
+    si = with_lsh_buckets(src, bits, id_col, vec_col)
+    ti = with_lsh_buckets(tgt, bits, id_col, vec_col)
+
+    def probed(df: DataFrame) -> DataFrame:
+        ps = [F.col("bucket")]
+        if probe_hamming >= 1:
+            ps += [
+                F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(bits)
+            ]
+        return df.select(
+            F.col(id_col), F.explode(F.array(*ps)).alias("probe_bucket")
+        )
+
+    fwd = probed(si).alias("l").join(
+        ti.alias("r"), F.col("l.probe_bucket") == F.col("r.bucket")
+    ).select(
+        F.col(f"l.{id_col}").alias("src_id"),
+        F.col(f"r.{id_col}").alias("tgt_id"),
+    )
+    bwd = probed(ti).alias("l").join(
+        si.alias("r"), F.col("l.probe_bucket") == F.col("r.bucket")
+    ).select(
+        F.col(f"r.{id_col}").alias("src_id"),
+        F.col(f"l.{id_col}").alias("tgt_id"),
+    )
+    cand = fwd.unionByName(bwd).distinct()
+
+    sv = src.select(F.col(id_col).alias("src_id"), F.col(vec_col).alias("_sv"))
+    tv = tgt.select(F.col(id_col).alias("tgt_id"), F.col(vec_col).alias("_tv"))
+    scored = (
+        cand.join(sv, "src_id").join(tv, "tgt_id")
+        .select("src_id", "tgt_id",
+                cosine(F.col("_sv"), F.col("_tv")).alias("cos"))
+    )
+
+    def half_avg(df: DataFrame, key: str, other: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("cos"), F.asc(other))
+        top = df.withColumn("_rn", F.row_number().over(w)) \
+                .filter(F.col("_rn") <= k)
+        folded = top.groupBy(key).agg(
+            F.sort_array(F.collect_list(
+                F.struct(F.col("cos").alias("s"), F.col(other).alias("o"))
+            )).alias("_ns")
+        )
+        ssum = F.aggregate(
+            F.col("_ns"), F.lit(0.0), lambda acc, x: acc + x["s"])
+        return folded.select(
+            key, (ssum / (F.lit(2.0) * F.size("_ns"))).alias(out))
+
+    hx = half_avg(scored, "src_id", "tgt_id", "hx")
+    hy = half_avg(scored, "tgt_id", "src_id", "hy")
+    m = (
+        scored.join(hx, "src_id").join(hy, "tgt_id")
+        .withColumn("margin", F.col("cos") / (F.col("hx") + F.col("hy")))
+        .filter((F.col("hx") + F.col("hy")) > 0)
+    )
+    wf = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("margin"), F.asc("src_id"))
+    return (
+        m.withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter((F.col("_rf") == 1) & (F.col("_rb") == 1))
+        .filter(F.col("margin") >= threshold)
+        .select("src_id", "tgt_id", "cos", "margin")
     )

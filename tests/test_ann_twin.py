@@ -44,3 +44,36 @@ def test_simhash_pairs_twin_is_exhaustive_truth(spark):
     # the twin enumerates ALL pairs: equality proves the 16-bit-slice
     # pigeonhole bucket join loses nothing at hamming<=3
     assert got == AT.simhash_pairs_expected(SF, max_hamming=3)
+
+
+def test_margin_knn_twin_and_planted_recovery(spark):
+    """Twin parity at sf0.001 (exact tuple equality including rounded
+    doubles), plus the mining contract: every planted translation pair
+    (src x, scaled copy at x + 1e6) whose buckets collide is recovered as
+    a mutual-best pair with cos_r == 1.0."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    planted = src.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.25)).alias("embedding"),
+    )
+    got = [
+        (r["src_id"], r["tgt_id"], r["cr"], r["mr"])
+        for r in SIM.margin_knn_pairs(
+            src, tgt.unionByName(planted), k=4, threshold=1.05, bits=8)
+        .select("src_id", "tgt_id",
+                F.round(F.col("cos"), 4).alias("cr"),
+                F.round(F.col("margin"), 4).alias("mr"))
+        .orderBy("src_id", "tgt_id").collect()
+    ]
+    want = AT.margin_knn_expected(SF, k=4, threshold=1.05, bits=8,
+                                  probe_hamming=1)
+    assert got == want
+    # scaled copies are cosine-invariant, so each planted pair that was
+    # mined must sit at exact cosine 1.0
+    planted_mined = [t for t in got if t[1] >= 1_000_000]
+    assert planted_mined, "no planted translation recovered"
+    for s, t, cr, mr in planted_mined:
+        if t == s + 1_000_000:
+            assert cr == 1.0 and mr >= 1.05
