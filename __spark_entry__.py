@@ -1102,6 +1102,25 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_compression_signal(spark, sf_dir):
+    """Compression-ratio quality signal (Dolma/RedPajama "gzip ratio"
+    heuristic) per document: DEFLATE length from the one Arrow-batched
+    zlib kernel (an 8-byte int is all that crosses back), ratio and band
+    flag computed natively. The comparison surface keeps everything
+    integer or IEEE-identical: comp_bp = 10000*comp_b DIV raw_b (floor
+    division in both engines), the flag's threshold comparisons operate
+    on the same division both sides. Oracle = python-twin VALUES for the
+    zlib lengths joined back to documents for the native part."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    out = TS.compression_signal(docs)
+    return out.select(
+        "doc_id", "raw_b", "comp_b",
+        F.when(F.col("raw_b") > 0,
+               F.expr("comp_b * 10000 DIV raw_b")).alias("comp_bp"),
+        "comp_flag",
+    ).orderBy("doc_id")
+
+
 def q_bitext_mining(spark, sf_dir):
     """Margin-based kNN bitext mining (Artetxe & Schwenk 2019) between an
     even-id src side and an odd-id tgt side of the embeddings table, with
@@ -2512,15 +2531,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 20
-    # group-(1) entries the cap lands after top_langs, so the r4-recorded
-    # tail (ccnet_buckets, cross_corpus_dedup, user_sessions ..
-    # duplicated_spans) falls past the cap this round — all hash-green in
-    # CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 21
+    # group-(1) entries the cap lands after minsize_other, so the
+    # r4-recorded tail (top_langs, ccnet_buckets, cross_corpus_dedup,
+    # user_sessions .. duplicated_spans) falls past the cap this round —
+    # all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
         "bitext_mining": q_bitext_mining,
+        "compression_signal": q_compression_signal,
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3059,6 +3079,43 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
         "WHERE FALSE",
     )
+
+
+def _compression_signal_oracle_sql() -> str:
+    """zlib lengths as twin VALUES (DEFLATE is not restatable in SQL; same
+    in-process zlib on the same UTF-8 bytes is byte-identical by
+    construction); raw length, floor-division basis points, and the band
+    flag restated natively in DuckDB."""
+    import duckdb
+
+    from linguistjs_spark.operators.text_stats import zlib_len_py
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, text FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    vals = ", ".join(
+        f"({d}, {z if z is not None else 'NULL'})"
+        for d, z in ((d, zlib_len_py(t)) for d, t in rows)
+    )
+    raw = "octet_length(CAST(d.text AS BLOB))"
+    return f"""
+    WITH z AS (SELECT * FROM (VALUES {vals}) t(doc_id, comp_b))
+    SELECT d.doc_id,
+           CAST({raw} AS BIGINT) AS raw_b,
+           CAST(z.comp_b AS BIGINT) AS comp_b,
+           CASE WHEN {raw} > 0
+                THEN CAST(z.comp_b * 10000 // {raw} AS BIGINT) END AS comp_bp,
+           CASE WHEN d.text IS NULL OR {raw} = 0 THEN NULL
+                WHEN CAST(z.comp_b AS DOUBLE) / {raw} < 0.30
+                    THEN 'repetitive'
+                WHEN CAST(z.comp_b AS DOUBLE) / {raw} > 0.98 THEN 'opaque'
+                ELSE 'normal' END AS comp_flag
+    FROM documents d LEFT JOIN z USING (doc_id)
+    ORDER BY d.doc_id
+    """
 
 
 def _bitext_mining_oracle_sql() -> str:
@@ -4621,6 +4678,7 @@ FROM p GROUP BY bucket
         "simhash_pairs": _simhash_pairs_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "bitext_mining": _bitext_mining_oracle_sql(),
+        "compression_signal": _compression_signal_oracle_sql(),
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "boilerplate_stats": _boilerplate_oracle_sql(),

@@ -1,11 +1,13 @@
 """Text-analysis operators for training-data pipelines (graft first-class
 components): token counting, language-ID over plain text, quality scoring,
 and document fingerprinting. All native Column expressions — no Python in
-the hot path; every one has a DuckDB-expressible oracle twin in
-__spark_entry__.py."""
+the hot path (single documented exception: ``zlib_len_col``, an Arrow-
+batched DEFLATE-length kernel with no native equivalent); every one has a
+DuckDB-expressible oracle twin in __spark_entry__.py."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,3 +100,75 @@ def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         nl_lang_col(t).alias("nl_lang"),
         fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def zlib_len_col(text: Column, level: int = 6) -> Column:
+    """DEFLATE-compressed byte length of the UTF-8 text — the one Arrow-
+    batched kernel in this module (everything else is a native Column
+    expression): DEFLATE has no JVM-built-in Spark function, and the
+    compressed LENGTH of a document cannot be approximated columnar-ly.
+    Per-batch cost is one C zlib call per document (the python loop only
+    dispatches); NULL in, NULL out.
+
+    Only the integer length crosses back over Arrow — the ratio below is
+    computed natively against octet_length, so the float arithmetic stays
+    engine-portable and the DuckDB oracle can restate everything except
+    the integer itself (which a python twin supplies as literal VALUES)."""
+    @F.pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [
+                None if t is None
+                else len(zlib.compress(t.encode("utf-8"), level))
+                for t in s
+            ],
+            dtype="Int64",
+        )
+
+    return _zlen(text)
+
+
+def compression_signal(
+    docs: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    low: float = 0.30,
+    high: float = 0.98,
+) -> DataFrame:
+    """Compression-ratio quality signal (the Dolma / RedPajama-style
+    "gzip ratio" heuristic): ratio = deflate_len / raw_len. Highly
+    repetitive or boilerplate text compresses far below natural prose
+    (ratio < ``low`` → ``repetitive``); near-incompressible text is
+    usually base64 blobs, minified code, or binary mislabeled as text
+    (ratio > ``high`` → ``opaque``); the band between is ``normal``.
+
+    Adds (raw_b, comp_b, comp_ratio, comp_flag) to ``docs``. One narrow
+    projection — the only shuffle-free stage cost is the zlib kernel,
+    whose output is an 8-byte integer per document, so downstream rollups
+    never carry text."""
+    raw = F.octet_length(F.col(text_col))
+    out = docs.withColumn("raw_b", raw.cast("long")).withColumn(
+        "comp_b", zlib_len_col(F.col(text_col), level))
+    ratio = F.when(
+        F.col("raw_b") > 0,
+        F.col("comp_b").cast("double") / F.col("raw_b").cast("double"),
+    )
+    flag = (
+        F.when(ratio.isNull(), F.lit(None).cast("string"))
+        .when(ratio < F.lit(low), F.lit("repetitive"))
+        .when(ratio > F.lit(high), F.lit("opaque"))
+        .otherwise(F.lit("normal"))
+    )
+    return out.withColumn("comp_ratio", ratio).withColumn("comp_flag", flag)
+
+
+def zlib_len_py(text: str | None, level: int = 6) -> int | None:
+    """Row twin of zlib_len_col — same in-process zlib, so the VALUES
+    oracle is byte-identical by construction."""
+    import zlib
+
+    if text is None:
+        return None
+    return len(zlib.compress(text.encode("utf-8"), level))
