@@ -1102,6 +1102,73 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+# planted punctuation mess for q_unicode_normalize: curly quotes, en dash,
+# ellipsis, NBSP, guillemets, zero-width space, full-width letters,
+# ideographic space, bullet — every class the normalizer maps
+_UNICODE_MESS = ("\n“Q” – it’s … "
+                 "«quoted»​ＨＩ　•end")
+
+
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode punctuation normalization (pre-dedup canonicalization):
+    every document gets the same planted punctuation mess appended, the
+    normalizer must map it to its ASCII spelling, and the comparison is
+    byte-identity (md5 of the normalized text) plus the codepoint shrink
+    count. Oracle restates the SAME translate mapping + regexp chains in
+    DuckDB, built from the module's constants so they cannot drift."""
+    import linguistjs_spark.operators.normalize as N
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t2 = F.concat(F.col("text"), F.lit(_UNICODE_MESS))
+    norm = N.unicode_punct_norm_col(t2)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        (F.length(t2) - F.length(norm)).cast("long").alias("shrunk"),
+    ).orderBy("doc_id")
+
+
+def q_mojibake_filter(spark, sf_dir):
+    """Mojibake gate: planted U+FFFD runs (doc_id % 13 of them on every
+    5th doc) and control pairs (every 7th doc) must surface in the
+    replacement/control counts and the basis-point fraction; docs over
+    25 bp drop as decode casualties. Integer + IEEE-identical floor
+    arithmetic; whole-text codegen scans, no shuffle before the sort."""
+    import linguistjs_spark.operators.normalize as N
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.expr("repeat('�', CAST(doc_id % 13 AS INT))")
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\x01\x02")).otherwise(F.lit("")),
+    )
+    s = N.mojibake_stats(t2)
+    return docs.select(
+        "doc_id",
+        s["n_repl"].alias("n_repl"),
+        s["n_ctrl"].alias("n_ctrl"),
+        s["n_chars"].alias("n_chars"),
+        s["bad_bp"].alias("bad_bp"),
+        N.bad_unicode_col(t2, max_bad_bp=25).alias("dropped"),
+    ).orderBy("doc_id")
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain frequency cap (anti-spam: ≤5 docs per host, latest-ts
+    priority) over the messy-URL fixture. The engine runs the two-stage
+    salted windows (Zipf-skew shield); the oracle proves the composition
+    is exact by restating it as ONE plain ROW_NUMBER per domain — the
+    output must be independent of the salting."""
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    kept = U.domain_frequency_cap(pages, max_per_domain=5, salt_buckets=8)
+    return kept.select("domain", "doc_id").orderBy("domain", "doc_id")
+
+
 def q_compression_signal(spark, sf_dir):
     """Compression-ratio quality signal (Dolma/RedPajama "gzip ratio"
     heuristic) per document: DEFLATE length from the one Arrow-batched
@@ -2531,16 +2598,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 21
-    # group-(1) entries the cap lands after minsize_other, so the
-    # r4-recorded tail (top_langs, ccnet_buckets, cross_corpus_dedup,
-    # user_sessions .. duplicated_spans) falls past the cap this round —
-    # all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 24
+    # group-(1) entries the cap lands after cascade_heuristics, so the
+    # r4-recorded tail (keep_reason_rollup, unknown_rollup, minsize_other,
+    # top_langs, ccnet_buckets, cross_corpus_dedup, user_sessions ..
+    # duplicated_spans) falls past the cap this round — all hash-green in
+    # CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
         "bitext_mining": q_bitext_mining,
         "compression_signal": q_compression_signal,
+        "unicode_normalize": q_unicode_normalize,
+        "mojibake_filter": q_mojibake_filter,
+        "domain_cap": q_domain_cap,
         "model_quality": q_model_quality,
         "bpe_merges": q_bpe_merges,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3079,6 +3150,68 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
         "WHERE FALSE",
     )
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _unicode_norm_oracle_sql() -> str:
+    """Same translate mapping + regexp chains, built from the normalize
+    module's constants (single source of truth), applied to the same
+    planted mess; md5 byte-identity is the compared surface."""
+    from linguistjs_spark.operators import normalize as N
+
+    src, dst = _sql_quote(N.NORM_SRC), _sql_quote(N.NORM_DST)
+    mess = _sql_quote(_UNICODE_MESS)
+    t2 = f"(text || '{mess}')"
+    norm = (f"regexp_replace(regexp_replace(translate({t2}, '{src}', "
+            f"'{dst}'), '{N.ELLIPSIS_PAT}', '...', 'g'), "
+            f"'{N.ZERO_WIDTH_PAT}', '', 'g')")
+    return f"""
+    SELECT doc_id, md5({norm}) AS norm_md5,
+           CAST(length({t2}) - length({norm}) AS BIGINT) AS shrunk
+    FROM documents ORDER BY doc_id
+    """
+
+
+def _mojibake_oracle_sql() -> str:
+    from linguistjs_spark.operators import normalize as N
+
+    t2 = ("(text || (CASE WHEN doc_id % 5 = 0 "
+          "THEN repeat('�', CAST(doc_id % 13 AS INT)) ELSE '' END) "
+          "|| (CASE WHEN doc_id % 7 = 0 THEN chr(1) || chr(2) "
+          "ELSE '' END))")
+    r = f"CAST(len(regexp_extract_all({t2}, '{N.REPLACEMENT_CHAR_PAT}')) AS BIGINT)"
+    c = f"CAST(len(regexp_extract_all({t2}, '{N.CONTROL_CHAR_PAT}')) AS BIGINT)"
+    n = f"CAST(length({t2}) AS BIGINT)"
+    bp = (f"CASE WHEN {n} > 0 THEN CAST(floor(CAST(({r} + {c}) * 10000 "
+          f"AS DOUBLE) / {n}) AS BIGINT) END")
+    return f"""
+    SELECT doc_id, {r} AS n_repl, {c} AS n_ctrl, {n} AS n_chars,
+           {bp} AS bad_bp,
+           coalesce({bp} > 25, FALSE) AS dropped
+    FROM documents ORDER BY doc_id
+    """
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH m AS ({_MESSY_URL_SQL}),
+d AS (
+  SELECT doc_id, url, warc_ts,
+         regexp_replace(lower(regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')
+           AS domain
+  FROM m
+),
+r AS (
+  SELECT domain, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY warc_ts DESC, url ASC) AS rn
+  FROM d
+)
+SELECT domain, doc_id FROM r WHERE rn <= 5 ORDER BY domain, doc_id
+"""
 
 
 def _compression_signal_oracle_sql() -> str:
@@ -4679,6 +4812,9 @@ FROM p GROUP BY bucket
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "bitext_mining": _bitext_mining_oracle_sql(),
         "compression_signal": _compression_signal_oracle_sql(),
+        "unicode_normalize": _unicode_norm_oracle_sql(),
+        "mojibake_filter": _mojibake_oracle_sql(),
+        "domain_cap": _DOMAIN_CAP_SQL,
         "ivf_ann_topk": _ivf_ann_oracle_sql(),
         "html_extract": _html_extract_oracle_sql(),
         "boilerplate_stats": _boilerplate_oracle_sql(),

@@ -341,3 +341,45 @@ def politeness_schedule(
         (rn / per_host_per_batch).cast("long").alias("batch"),
         (rn % per_host_per_batch).cast("long").alias("slot"),
     )
+
+
+def domain_frequency_cap(
+    pages: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Per-domain frequency capping (the anti-spam stage of C4/Gopher-era
+    pipelines: no single host may contribute more than N documents): keep
+    the top ``max_per_domain`` rows per domain by (latest ``ts_col``,
+    then lexicographically smallest url) and drop the rest. Adds the
+    ``domain`` column to the survivors.
+
+    Exact top-N per domain computed in TWO window stages because domains
+    are Zipf-skewed: a single row_number window over ``domain`` would sort
+    the hottest domain's ~10^9 rows in ONE task at the 10^12-doc target.
+    Stage 1 ranks within (domain, salt) — ``salt_buckets`` deterministic
+    url-hash shards — and keeps each shard's top N, bounding every
+    stage-2 partition at salt_buckets * N rows regardless of skew. Any
+    row in the TRUE domain top-N is also in its own shard's top-N (the
+    priority order is identical), so the composition is exact, and the
+    final output is independent of the salting — which is why the oracle
+    can restate it as one plain ROW_NUMBER."""
+    from pyspark.sql.window import Window
+
+    df = pages.withColumn("domain", domain_col(F.col(url_col)))
+    order = [F.col(ts_col).desc(), F.col(url_col).asc()]
+    salt = F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(F.col("domain"), salt).orderBy(*order)
+    pruned = (
+        df.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= max_per_domain)
+        .drop("_rn1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        pruned.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= max_per_domain)
+        .drop("_rn2")
+    )

@@ -339,3 +339,56 @@ def test_snapshot_merge_fingerprints_before_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_domain_cap_exact_and_salt_independent(spark):
+    """The two-stage salted cap must equal a plain top-N per domain, for
+    any salt_buckets value (salting is a skew shield, never a semantic)."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from linguistjs_spark.operators.url_ops import (
+        domain_col, domain_frequency_cap)
+
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [
+        (f"https://d{i % 3}.example/p{i}",
+         t0 + dt.timedelta(seconds=(i * 37) % 101), f"t{i}")
+        for i in range(120)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string")
+    want = sorted(
+        (r.url,) for r in pages
+        .withColumn("domain", domain_col(F.col("url")))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("domain")
+            .orderBy(F.col("warc_ts").desc(), F.col("url").asc())))
+        .filter(F.col("rn") <= 7).select("url").collect()
+    )
+    for buckets in (1, 4, 64):
+        got = sorted(
+            (r.url,) for r in domain_frequency_cap(
+                pages, max_per_domain=7, salt_buckets=buckets)
+            .select("url").collect())
+        assert got == want, buckets
+
+
+def test_domain_cap_bounds_hot_domain_partitions(spark):
+    """Skew shield: stage 1 must leave at most salt_buckets * N rows of a
+    hot domain for the exact stage-2 window."""
+    import datetime as dt
+
+    from linguistjs_spark.operators.url_ops import domain_frequency_cap
+
+    t0 = dt.datetime(2021, 1, 1)
+    hot = [(f"https://hot.example/{i}", t0 + dt.timedelta(seconds=i), "x")
+           for i in range(500)]
+    pages = spark.createDataFrame(
+        hot, "url string, warc_ts timestamp, text string")
+    out = domain_frequency_cap(pages, max_per_domain=3, salt_buckets=4)
+    got = [r.url for r in out.collect()]
+    # exact: the 3 latest-ts urls
+    assert sorted(got) == sorted(
+        f"https://hot.example/{i}" for i in (499, 498, 497))
