@@ -110,6 +110,18 @@ def main(argv: list[str] | None = None) -> int:
                          "(first-failing-stage rollup by url) and exit")
     ap.add_argument("--funnel-min-words", type=int, default=None,
                     help="override the Gopher 50-word floor for the funnel")
+    ap.add_argument("--normalize-unicode", action="store_true",
+                    help="canonicalize unicode punctuation (curly quotes, "
+                         "dashes, ellipsis, exotic spaces, full-width "
+                         "ASCII) before quality/langid/scrub")
+    ap.add_argument("--drop-mojibake", type=int, nargs="?", const=25,
+                    default=None, metavar="BP",
+                    help="drop decode casualties: docs whose U+FFFD + "
+                         "control-char fraction exceeds BP basis points "
+                         "(default 25)")
+    ap.add_argument("--compression-gate", action="store_true",
+                    help="drop docs by zlib compression ratio "
+                         "(repetitive <0.30, opaque >0.98)")
     ap.add_argument("--max-perplexity", type=float, default=None,
                     help="drop documents scoring above this perplexity "
                          "(enables the ppl stage with the embedded model "
@@ -136,6 +148,13 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["categories"] = tuple(args.categories.split(","))
     if args.ignored_languages:
         cfg_kwargs["ignored_languages"] = tuple(args.ignored_languages.split(","))
+    if args.normalize_unicode:
+        cfg_kwargs["normalize_unicode"] = True
+    if args.drop_mojibake is not None:
+        cfg_kwargs["drop_mojibake"] = True
+        cfg_kwargs["max_bad_unicode_bp"] = args.drop_mojibake
+    if args.compression_gate:
+        cfg_kwargs["compression_gate"] = True
     if args.ppl_model or args.max_perplexity is not None:
         cfg_kwargs["compute_perplexity"] = True
         cfg_kwargs["kenlm_model_path"] = args.ppl_model

@@ -94,6 +94,22 @@ class QualityFilterConfig:
     model_quality_path: str | None = None
     model_quality_min_prob: float = 0.5
     model_quality_drop_oov: bool = False
+    # Unicode punctuation canonicalization (operators/normalize.py) applied
+    # to the working text before quality/langid/scrub. Off by default: it
+    # intentionally changes bytes, so the byte-identical scrubbed-text
+    # parity contract runs without it.
+    normalize_unicode: bool = False
+    # Mojibake gate: drop docs whose U+FFFD + control-char fraction exceeds
+    # max_bad_unicode_bp basis points (decode casualties, keep_reason
+    # 'bad-unicode'). Native codegen scans.
+    drop_mojibake: bool = False
+    max_bad_unicode_bp: int = 25
+    # Compression-ratio gate (Dolma-style zlib heuristic; adds the one
+    # optional zlib Arrow stage): ratio below min -> 'compression-
+    # repetitive', above max -> 'compression-opaque'.
+    compression_gate: bool = False
+    min_comp_ratio: float = 0.30
+    max_comp_ratio: float = 0.98
     # PII / toxicity scrub
     scrub_pii: bool = True
     toxicity_filter: bool = True

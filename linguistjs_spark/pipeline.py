@@ -215,6 +215,17 @@ def run_pipeline(
     alive = F.col("_alive")
     text = F.col("text")
 
+    # Optional unicode punctuation canonicalization BEFORE any downstream
+    # read of text (quality/langid/ppl/scrub all see the canonical form;
+    # `bytes` then measures what the corpus would actually store). The
+    # classify UDF above already consumed the raw text — language labels
+    # must come from the bytes the crawler delivered.
+    if cfg.normalize_unicode:
+        from .operators.normalize import unicode_punct_norm_col
+
+        df = df.withColumn(
+            "text", F.when(alive, unicode_punct_norm_col(text)))
+
     # A2 + graft features, all native, CASE-gated on liveness so dead rows
     # evaluate none of them (codegen branches are lazy per row)
     df = df.withColumn("bytes", F.when(alive, F.octet_length(text).cast("long")))
@@ -357,6 +368,31 @@ def run_pipeline(
                 F.when(F.col("mq_margin").isNull(),
                        F.lit("model-quality-oov")),
             )
+    mj_reason = F.lit(None).cast("string")
+    if cfg.drop_mojibake:
+        from .operators.normalize import bad_unicode_col
+
+        # text is NULL for dead rows, so the gate is inert there (the
+        # coalesce's earlier branches have already fired anyway)
+        mj_reason = F.when(
+            bad_unicode_col(text, cfg.max_bad_unicode_bp),
+            F.lit("bad-unicode"),
+        )
+    comp_reason = F.lit(None).cast("string")
+    if cfg.compression_gate:
+        from .operators.text_stats import zlib_len_col
+
+        _raw_b = F.octet_length(text)
+        _ratio = (
+            zlib_len_col(F.when(alive, text)).cast("double") / _raw_b
+        )
+        comp_reason = F.when(
+            _raw_b > 0,
+            F.when(_ratio < F.lit(cfg.min_comp_ratio),
+                   F.lit("compression-repetitive"))
+            .when(_ratio > F.lit(cfg.max_comp_ratio),
+                  F.lit("compression-opaque")),
+        )
     tox_reason = F.lit(None).cast("string")
     if cfg.toxicity_filter:
         tox_reason = F.when(
@@ -386,7 +422,9 @@ def run_pipeline(
             F.when(~F.col("_eligible"), F.lit("unreadable")),
             F.when(F.col("_sniffed"), F.lit("binary-content")),
             F.when(F.col("_cat"), F.lit("category")),
+            mj_reason,
             qreason,
+            comp_reason,
             tox_reason,
             mq_reason,
             kept_reason,
