@@ -369,6 +369,19 @@ def main() -> None:
                 F.sum("n_tokens"), F.sum("n_bpe_tokens")).collect(),
         )
 
+        # zlib compression-ratio signal at pipeline volume: the kernel is
+        # one C deflate call per doc over Arrow batches; the agg keeps the
+        # collect tiny so the leg measures the kernel, not the driver
+        def comp_job():
+            pages_z = bench_pages(spark, SF_DIR, REPLICATE)
+            return (
+                lambda: TS.compression_signal(pages_z)
+                .groupBy("comp_flag")
+                .agg(F.count("*"), F.sum("comp_b")).collect()
+            )
+
+        run_leg("compression_signal", queries, queries_host, comp_job)
+
         # VERDICT r04 item 5 A/B: the batch-vectorized perplexity kernel
         # (one table gather + reduceat segment-sum per Arrow batch) vs the
         # r4-shipped row kernel (Series.map, per-doc gather + np.mean).
