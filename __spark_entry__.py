@@ -1169,6 +1169,47 @@ def q_domain_cap(spark, sf_dir):
     return kept.select("domain", "doc_id").orderBy("domain", "doc_id")
 
 
+def q_corpus_card(spark, sf_dir):
+    """One-job per-language corpus data card (the summary table a corpus
+    release ships): docs, bytes, whitespace tokens, exact-distinct texts
+    + duplication rate, Gopher keep rate (integer basis points), and the
+    interpolated median length. ONE groupBy: md5 fingerprints replace
+    text BEFORE the shuffle, countDistinct runs as Spark's two-phase
+    partial-distinct. The exact `percentile` is the oracle-comparable
+    mode — at 10^12 rows the same card swaps in approx_percentile +
+    HLL distinct (the doc_length_quantiles / dedup_cardinality sketch
+    pattern) with identical plan shape."""
+    from linguistjs_spark.operators import gopher as G
+
+    docs = _docs(spark, sf_dir)
+    keep = G.gopher_quality_drop_reason_col(F.col("text")).isNull()
+    scored = docs.select(
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("lang"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+        F.coalesce(F.octet_length("text").cast("long"), F.lit(0)).alias("b"),
+        TS.token_count_col(F.coalesce(F.col("text"), F.lit("")))
+        .alias("toks"),
+        keep.alias("keep"),
+        F.coalesce(F.length("text").cast("long"), F.lit(0)).alias("chars"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("b").cast("long").alias("n_bytes"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.countDistinct("fp").cast("long").alias("n_distinct"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            F.expr("CAST(ROUND(percentile(chars, 0.5) * 100) AS BIGINT)")
+            .alias("p50_chars_c"),
+        )
+        .withColumn(
+            "dup_bp", F.expr("10000 * (n_docs - n_distinct) div n_docs"))
+        .withColumn("keep_bp", F.expr("10000 * n_keep div n_docs"))
+        .orderBy("lang")
+    )
+
+
 def q_compression_signal(spark, sf_dir):
     """Compression-ratio quality signal (Dolma/RedPajama "gzip ratio"
     heuristic) per document: DEFLATE length from the one Arrow-batched
@@ -2598,17 +2639,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 24
-    # group-(1) entries the cap lands after cascade_heuristics, so the
-    # r4-recorded tail (keep_reason_rollup, unknown_rollup, minsize_other,
-    # top_langs, ccnet_buckets, cross_corpus_dedup, user_sessions ..
-    # duplicated_spans) falls past the cap this round — all hash-green in
-    # CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 25
+    # group-(1) entries the cap lands after cascade_wide, so the
+    # r4-recorded tail (cascade_heuristics, keep_reason_rollup,
+    # unknown_rollup, minsize_other, top_langs, ccnet_buckets,
+    # cross_corpus_dedup, user_sessions .. duplicated_spans) falls past
+    # the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
         "bitext_mining": q_bitext_mining,
         "compression_signal": q_compression_signal,
+        "corpus_card": q_corpus_card,
         "unicode_normalize": q_unicode_normalize,
         "mojibake_filter": q_mojibake_filter,
         "domain_cap": q_domain_cap,
@@ -3150,6 +3192,37 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
         "WHERE FALSE",
     )
+
+
+def _corpus_card_oracle_sql() -> str:
+    from linguistjs_spark.operators.quality import _WORD_RUN_PAT
+
+    return f"""
+    WITH g AS ({_gopher_quality_sql()}),
+    s AS (
+      SELECT coalesce(d.lang, 'unknown') AS lang,
+             md5(coalesce(d.text, '')) AS fp,
+             coalesce(octet_length(CAST(d.text AS BLOB)), 0) AS b,
+             CAST(len(regexp_extract_all(coalesce(d.text, ''),
+                  '{_WORD_RUN_PAT}')) AS BIGINT) AS toks,
+             (g.drop_reason IS NULL) AS keep,
+             coalesce(length(d.text), 0) AS chars
+      FROM documents d JOIN g USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b) AS BIGINT) AS n_bytes,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(ROUND(quantile_cont(chars, 0.5) * 100) AS BIGINT)
+               AS p50_chars_c,
+           CAST(10000 * (COUNT(*) - COUNT(DISTINCT fp)) // COUNT(*)
+               AS BIGINT) AS dup_bp,
+           CAST(10000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END) // COUNT(*)
+               AS BIGINT) AS keep_bp
+    FROM s GROUP BY lang ORDER BY lang
+    """
 
 
 def _sql_quote(s: str) -> str:
@@ -4812,6 +4885,7 @@ FROM p GROUP BY bucket
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         "bitext_mining": _bitext_mining_oracle_sql(),
         "compression_signal": _compression_signal_oracle_sql(),
+        "corpus_card": _corpus_card_oracle_sql(),
         "unicode_normalize": _unicode_norm_oracle_sql(),
         "mojibake_filter": _mojibake_oracle_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,

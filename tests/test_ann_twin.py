@@ -77,3 +77,22 @@ def test_margin_knn_twin_and_planted_recovery(spark):
     for s, t, cr, mr in planted_mined:
         if t == s + 1_000_000:
             assert cr == 1.0 and mr >= 1.05
+
+
+def test_margin_knn_plan_has_no_cartesian(spark):
+    """Candidate generation must stay equi-join-shaped: no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere, and the kNN
+    window exchanges must move (id, cos) edges, not embedding vectors."""
+    emb = _emb(spark).select("vec_id", "embedding")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    plan = (SIM.margin_knn_pairs(src, tgt, k=4, bits=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # window stages: every Exchange hashpartitioning on src_id/tgt_id must
+    # not carry the embedding column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(src_id" in line \
+                or "Exchange hashpartitioning(tgt_id" in line:
+            assert "embedding#" not in line, line
