@@ -192,3 +192,44 @@ def test_streamed_model_quality_tier_matches_batch(spark, tmp_path):
     reasons = {u: r for u, _, r, _ in got}
     assert reasons["https://s.example/lq.txt"] == "model-quality"
     assert reasons["https://s.example/hq.txt"] == "classified"
+
+
+def test_streamed_normalize_and_gates_match_batch(spark, tmp_path):
+    """The normalize/mojibake/compression gates are stateless per-row
+    algebra (one translate/regex projection + the zlib kernel), so
+    stream_labels streams them unchanged: streamed labels == batch
+    labels, including 'bad-unicode' and 'compression-repetitive'
+    attribution."""
+    import datetime as dt
+
+    cfg = QualityFilterConfig(
+        langid_fallback=False, toxicity_filter=False,
+        normalize_unicode=True, drop_mojibake=True, compression_gate=True,
+        max_dup_line_ratio=1.1, max_words=10_000,
+    )
+    ts = dt.datetime(2022, 3, 1)
+    rows = [
+        ("https://s.example/curly.txt", ts, None,
+         "the “research” study – and it’s analysis … were published by "
+         "the university press this year", None),
+        ("https://s.example/moji.txt", ts, None,
+         "the research study " + "�" * 40 +
+         " and the analysis were published by the university", None),
+        ("https://s.example/rep.txt", ts, None, "spam " * 400, None),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    pages.write.mode("append").parquet(in_dir)
+    stream_labels(spark, in_dir, out_dir, ckpt, cfg)
+    got = _label_set(spark.read.parquet(out_dir))
+    assert got == _label_set(run_pipeline(spark, pages, cfg))
+    reasons = {t[0]: t[2] for t in got}
+    assert reasons["https://s.example/moji.txt"] == "bad-unicode"
+    assert reasons["https://s.example/rep.txt"] == "compression-repetitive"
+    assert reasons["https://s.example/curly.txt"] == "classified"
