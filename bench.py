@@ -496,6 +496,32 @@ def main() -> None:
                 spark.read.parquet(emb_path), qvec, k=10).collect(),
         )
 
+        # margin-kNN bitext mining at scale: 24k vectors (12k per side)
+        # built by deterministic replication + xxhash perturbation (keeps
+        # the bucket histogram realistic — exact copies would pile into
+        # single buckets). Measures the full candidate-join + window-margin
+        # machinery (~18 s at local[16] on an idle host), not a toy bucket
+        # count.
+        def bitext_job():
+            rep_n = 12
+            emb = spark.read.parquet(emb_path).select("vec_id", "embedding")
+            reps = spark.range(rep_n).select(F.col("id").alias("rep"))
+            big = emb.crossJoin(F.broadcast(reps)).select(
+                (F.col("vec_id") * rep_n + F.col("rep")).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x, i: x.cast("double")
+                    + (F.pmod(F.xxhash64(F.col("vec_id"), F.col("rep"), i),
+                              F.lit(1000)).cast("double") / 1e4 - 0.05),
+                ).alias("embedding"),
+            ).repartition(PARTS, "vec_id")
+            src = big.filter(F.col("vec_id") % 2 == 0)
+            tgt = big.filter(F.col("vec_id") % 2 == 1)
+            return lambda: SIM.margin_knn_pairs(
+                src, tgt, k=4, threshold=1.05, bits=12).count()
+
+        run_leg("bitext_mining", queries, queries_host, bitext_job)
+
         # round-2 ops: html extraction (pure codegen projection) and
         # corpus-wide paragraph dedup (window + reassembly shuffles)
         from linguistjs_spark.operators.extract import (
