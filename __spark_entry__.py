@@ -1169,6 +1169,31 @@ def q_domain_cap(spark, sf_dir):
     return kept.select("domain", "doc_id").orderBy("domain", "doc_id")
 
 
+def q_crawl_delay_schedule(spark, sf_dir):
+    """Crawl-delay-aware politeness scheduling: per-host batch capacity
+    derived from the robots fixture's Crawl-delay lines (first valid
+    positive value in a user-agent-* group; 60 s window → cap =
+    floor(60/d) floored at 1; hosts without a delay get the default 7).
+    The engine extracts the delay with the robots fold and schedules in
+    one window; the oracle re-derives the delay with the window-function
+    state machine and restates the schedule as ROW_NUMBER + floor
+    division."""
+    import linguistjs_spark.operators.url_ops as U
+    from linguistjs_spark.operators.robots import robots_crawl_delay_col
+
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "url string, robots_txt string")
+    delays = robots.select(
+        U.domain_col(F.col("url")).alias("host"),
+        robots_crawl_delay_col(F.col("robots_txt")).alias("crawl_delay"),
+    )
+    frontier = _messy_urls(spark, sf_dir).select("doc_id", "url")
+    out = U.politeness_schedule_with_delays(
+        frontier, delays, window_sec=60.0, default_per_batch=7)
+    return out.select(
+        "doc_id", "host", "cap", "batch", "slot").orderBy("doc_id")
+
+
 def q_corpus_card(spark, sf_dir):
     """One-job per-language corpus data card (the summary table a corpus
     release ships): docs, bytes, whitespace tokens, exact-distinct texts
@@ -2000,6 +2025,14 @@ _ROBOTS_FIXTURE = [
     ("https://src8.example/robots.txt",
      "User-agent: *\nDisallow: /p/1\nAllow: /p/11\nDisallow: /p/111\n"
      "Allow: /p/*7/doc\nDisallow: /p/*7"),
+    # Crawl-delay coverage (crawl_delay_schedule): non-star group's delay
+    # ignored, invalid/zero values skipped, FIRST valid star value wins
+    ("https://src9.example/robots.txt",
+     "User-agent: bing\nCrawl-delay: 1\nUser-agent: *\n"
+     "Crawl-delay: abc\nCrawl-delay: 0\nCrawl-delay: 2.5\n"
+     "Crawl-delay: 30"),
+    ("https://src10.example/robots.txt",
+     "User-agent: *\nDisallow: /p/19\nCrawl-delay: 30"),
 ]
 
 
@@ -2639,18 +2672,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 25
-    # group-(1) entries the cap lands after cascade_wide, so the
-    # r4-recorded tail (cascade_heuristics, keep_reason_rollup,
-    # unknown_rollup, minsize_other, top_langs, ccnet_buckets,
-    # cross_corpus_dedup, user_sessions .. duplicated_spans) falls past
-    # the cap this round — all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 26
+    # group-(1) entries the cap lands after cascade_extmap, so the
+    # r4-recorded tail (cascade_wide, cascade_heuristics,
+    # keep_reason_rollup, unknown_rollup, minsize_other, top_langs,
+    # ccnet_buckets, cross_corpus_dedup, user_sessions ..
+    # duplicated_spans) falls past the cap this round — all hash-green in
+    # CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
         "bitext_mining": q_bitext_mining,
         "compression_signal": q_compression_signal,
         "corpus_card": q_corpus_card,
+        "crawl_delay_schedule": q_crawl_delay_schedule,
         "unicode_normalize": q_unicode_normalize,
         "mojibake_filter": q_mojibake_filter,
         "domain_cap": q_domain_cap,
@@ -3010,6 +3045,93 @@ rparsed AS (
     ON s.domain = g.domain AND s.run_id = g.gov_run
   WHERE {kind_gate} AND s.star AND g.arg <> ''
 )"""
+
+
+def _robots_crawl_delay_cte() -> str:
+    """Window-state-machine re-derivation of robots_crawl_delay_col (the
+    robots_parsed_cte pattern with Crawl-delay tagging): first valid
+    positive star-group value per domain → rdelays(domain, delay)."""
+    clean = _ROBOTS_TRIM.format(x="regexp_replace(ls[i], '#.*$', '')")
+    return f"""
+robots(domain, txt) AS (VALUES {_robots_fixture_values()}),
+rlines AS (
+  SELECT domain,
+         unnest(list_transform(range(1, len(ls)+1),
+                i -> {{'idx': i, 'line': {clean}}}),
+                recursive := true)
+  FROM (SELECT domain, string_split_regex(txt, '\\r\\n|\\r|\\n') AS ls
+        FROM robots)
+),
+rtagged AS (
+  SELECT domain, idx, line,
+         regexp_matches(lower(line), '^user-agent[ \\t]*:') AS is_ua,
+         regexp_matches(lower(line), '^crawl-delay[ \\t]*:') AS is_cd,
+         {_ROBOTS_ARG} AS arg,
+         (line <> '' AND NOT regexp_matches(lower(line),
+                                            '^user-agent[ \\t]*:'))
+             AS is_directive
+  FROM rlines
+),
+rruns AS (
+  SELECT domain, idx, is_ua, is_cd, arg,
+         SUM(CASE WHEN is_directive THEN 1 ELSE 0 END)
+           OVER (PARTITION BY domain ORDER BY idx
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM rtagged
+),
+rstar AS (
+  SELECT domain, run_id, bool_or(arg = '*') AS star
+  FROM rruns WHERE is_ua GROUP BY domain, run_id
+),
+rgov AS (
+  SELECT domain, idx, is_cd, arg,
+         MAX(CASE WHEN is_ua THEN run_id END)
+           OVER (PARTITION BY domain ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS gov_run
+  FROM rruns
+),
+rvalid AS (
+  SELECT g.domain, g.idx, CAST(g.arg AS DOUBLE) AS delay
+  FROM rgov g JOIN rstar s
+    ON s.domain = g.domain AND s.run_id = g.gov_run
+  WHERE g.is_cd AND s.star
+    AND regexp_matches(g.arg, '^[0-9]+(\\.[0-9]+)?$')
+    AND CAST(g.arg AS DOUBLE) > 0
+),
+rdelays AS (
+  SELECT domain, delay FROM (
+    SELECT domain, delay,
+           ROW_NUMBER() OVER (PARTITION BY domain ORDER BY idx) AS rn
+    FROM rvalid) WHERE rn = 1
+)"""
+
+
+def _crawl_delay_schedule_oracle_sql() -> str:
+    dom = ("regexp_replace(lower(regexp_extract(url, "
+           "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
+    return f"""
+    WITH m AS ({_MESSY_URL_SQL}),
+    {_robots_crawl_delay_cte()},
+    f AS (SELECT doc_id, url, {dom} AS host FROM m),
+    c AS (
+      SELECT f.doc_id, f.url, f.host,
+             coalesce(CASE WHEN d.delay > 0
+                           THEN greatest(CAST(floor(60.0 / d.delay)
+                                              AS BIGINT), 1) END,
+                      7) AS cap
+      FROM f LEFT JOIN rdelays d ON d.domain = f.host
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY url ASC) - 1
+                AS rn
+      FROM c
+    )
+    SELECT doc_id, host, CAST(cap AS BIGINT) AS cap,
+           CAST(rn // cap AS BIGINT) AS batch,
+           CAST(rn % cap AS BIGINT) AS slot
+    FROM r ORDER BY doc_id
+    """
 
 
 def _robots_rules_oracle_sql() -> str:
@@ -4886,6 +5008,7 @@ FROM p GROUP BY bucket
         "bitext_mining": _bitext_mining_oracle_sql(),
         "compression_signal": _compression_signal_oracle_sql(),
         "corpus_card": _corpus_card_oracle_sql(),
+        "crawl_delay_schedule": _crawl_delay_schedule_oracle_sql(),
         "unicode_normalize": _unicode_norm_oracle_sql(),
         "mojibake_filter": _mojibake_oracle_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,

@@ -467,3 +467,73 @@ def parse_robots_sitemaps(txt: str | None) -> list[str]:
             if arg:
                 out.append(arg)
     return out
+
+
+# Crawl-delay extraction: not in RFC 9309, but honored by Bing/Yandex and
+# ubiquitous in real robots files; the politeness tier consumes it
+# (url_ops.politeness_schedule_with_delays). Semantics: the FIRST
+# Crawl-delay line with a positive decimal value inside a user-agent-*
+# group wins (later values and values in non-star groups are ignored;
+# 0 and non-numeric values are invalid — a zero delay means "no limit",
+# which is the same as absent). Like every other non-UA directive it
+# terminates a user-agent run (the generic `ruled` logic).
+_CD_PAT = r"^crawl-delay[ \t]*:"
+_CD_NUM_PAT = r"^[0-9]+(\.[0-9]+)?$"
+
+
+def robots_crawl_delay_col(txt: Column) -> Column:
+    """Crawl-delay seconds (double) for the generic crawler, NULL when no
+    star group carries a valid positive value. Same one-fold shape as
+    ``robots_group_rules_col`` with scalar (star, ruled, delay) state."""
+    lines = F.split(F.coalesce(txt, F.lit("")), _LINE_SPLIT)
+    init = F.struct(
+        F.lit(False).alias("star"),
+        F.lit(True).alias("ruled"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+
+    def step(st: Column, raw: Column) -> Column:
+        line = _clean_line(raw)
+        low = F.lower(line)
+        is_ua = low.rlike(_UA_PAT)
+        is_cd = low.rlike(_CD_PAT)
+        arg = _directive_arg(line)
+        star = st.getField("star")
+        ruled = st.getField("ruled")
+        delay = st.getField("delay")
+        new_star = F.when(
+            is_ua,
+            F.when(ruled, arg == "*").otherwise(star | (arg == "*")),
+        ).otherwise(star)
+        new_ruled = F.when(is_ua, F.lit(False)).otherwise(
+            F.when(line == "", ruled).otherwise(F.lit(True)))
+        valid = is_cd & star & arg.rlike(_CD_NUM_PAT) \
+            & (arg.cast("double") > 0)
+        new_delay = F.coalesce(delay, F.when(valid, arg.cast("double")))
+        return F.struct(
+            new_star.alias("star"),
+            new_ruled.alias("ruled"),
+            new_delay.alias("delay"),
+        )
+
+    return F.aggregate(lines, init, step, lambda st: st.getField("delay"))
+
+
+def parse_crawl_delay(txt: str | None) -> float | None:
+    """Imperative twin of ``robots_crawl_delay_col``."""
+    star, ruled, delay = False, True, None
+    for raw in _re.split(_LINE_SPLIT, txt or ""):
+        line = _re.sub(_TRIM, "", _re.sub(r"#.*$", "", raw))
+        low = line.lower()
+        arg = _re.sub(_TRIM, "", _re.sub(r"^[^:]*:", "", line))
+        if _UA_RE.match(low):
+            star = (arg == "*") if ruled else (star or arg == "*")
+            ruled = False
+            continue
+        if line == "":
+            continue
+        if (delay is None and star and _re.match(_CD_PAT, low)
+                and _re.match(_CD_NUM_PAT, arg) and float(arg) > 0):
+            delay = float(arg)
+        ruled = True
+    return delay

@@ -383,3 +383,53 @@ def domain_frequency_cap(
         .filter(F.col("_rn2") <= max_per_domain)
         .drop("_rn2")
     )
+
+
+def politeness_schedule_with_delays(
+    frontier: DataFrame,
+    delays: DataFrame,
+    window_sec: float = 60.0,
+    default_per_batch: int = 10,
+    url_col: str = "url",
+    priority_col: str | None = None,
+) -> DataFrame:
+    """``politeness_schedule`` with per-host capacities derived from
+    robots.txt ``Crawl-delay`` (robots.robots_crawl_delay_col): a host
+    with delay d seconds may be fetched floor(window_sec / d) times per
+    batch window (floored at 1); hosts without a valid delay use
+    ``default_per_batch``. ``delays`` is a (host, crawl_delay) table —
+    at crawl scale it is the per-domain robots table (~10^8 rows against
+    a 10^12-row frontier), so the join stays a keyed equi-join the
+    planner can broadcast when the domain count allows.
+
+    Same single window shuffle as politeness_schedule; the per-host cap
+    arrives BEFORE the window via the join, so batch assignment is one
+    arithmetic projection on the rank. Output adds host, cap, batch,
+    slot."""
+    from pyspark.sql.window import Window
+
+    with_host = frontier.withColumn("host", domain_col(F.col(url_col)))
+    d = delays.select(
+        F.col("host"),
+        F.when(
+            F.col("crawl_delay") > 0,
+            F.greatest(
+                F.floor(F.lit(float(window_sec)) / F.col("crawl_delay"))
+                .cast("long"),
+                F.lit(1).cast("long"),
+            ),
+        ).alias("cap"),
+    )
+    joined = with_host.join(d, "host", "left").withColumn(
+        "cap", F.coalesce(F.col("cap"), F.lit(default_per_batch).cast("long"))
+    )
+    order = (
+        [F.col(priority_col).desc()] if priority_col else []
+    ) + [F.col(url_col).asc()]
+    w = Window.partitionBy("host").orderBy(*order)
+    rn = F.row_number().over(w) - 1
+    return joined.select(
+        "*",
+        (rn / F.col("cap")).cast("long").alias("batch"),
+        (rn % F.col("cap")).cast("long").alias("slot"),
+    )

@@ -404,3 +404,86 @@ def test_cluster_representatives_string_ids_and_missing_members(spark):
     kept = sorted(r.doc_id for r in dedup_survivors(
         docs, clusters).collect())
     assert kept == ["u-a", "u-z"]
+
+
+def test_crawl_delay_crafted_and_twin(spark):
+    from linguistjs_spark.operators.robots import (
+        parse_crawl_delay, robots_crawl_delay_col)
+
+    cases = [
+        ("User-agent: *\nCrawl-delay: 5", 5.0),
+        ("User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 9", 2.5),  # first wins
+        ("User-agent: bing\nCrawl-delay: 5", None),        # non-star group
+        ("User-agent: *\nCrawl-delay: 0", None),           # zero invalid
+        ("User-agent: *\nCrawl-delay: abc", None),         # non-numeric
+        ("User-agent: *\nCrawl-delay: abc\nCrawl-delay: 4", 4.0),
+        ("Crawl-delay: 5", None),                          # orphan (no group)
+        ("User-agent: *\nDisallow: /x\nCrawl-delay: 3 # t", 3.0),
+        # directive ends the UA run: the second UA line starts a NEW group
+        ("User-agent: *\nCrawl-delay: 1\nUser-agent: bot\nCrawl-delay: 9",
+         1.0),
+        (None, None),
+        ("", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i int, txt string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", robots_crawl_delay_col(F.col("txt")).alias("d")).collect()}
+    for i, (t, want) in enumerate(cases):
+        assert got[i] == want, (i, t, got[i])
+        assert parse_crawl_delay(t) == want, (i, t)
+
+
+def test_crawl_delay_fold_matches_twin_fuzz(spark):
+    from linguistjs_spark.operators.robots import (
+        parse_crawl_delay, robots_crawl_delay_col)
+
+    rng = random.Random(20260821)
+    pool = [
+        "User-agent: *", "User-agent: bot", "user-agent:*",
+        "Crawl-delay: 3", "crawl-delay : 0.5", "Crawl-delay: 0",
+        "Crawl-delay: x", "Crawl-delay:", "Disallow: /a", "# c", "",
+        "Crawl-delay: 12 # tail", "Sitemap: https://e/s.xml",
+    ]
+    texts = []
+    for _ in range(200):
+        n = rng.randrange(0, 12)
+        sep = rng.choice(["\n", "\r\n", "\r"])
+        texts.append(sep.join(rng.choice(pool) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, txt string")
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", robots_crawl_delay_col(F.col("txt")).alias("d")).collect()}
+    bad = [i for i, t in enumerate(texts) if got[i] != parse_crawl_delay(t)]
+    assert bad == [], [(i, texts[i], got[i], parse_crawl_delay(texts[i]))
+                       for i in bad[:3]]
+
+
+def test_politeness_with_delays_caps(spark):
+    from linguistjs_spark.operators.url_ops import (
+        politeness_schedule_with_delays)
+
+    frontier = spark.createDataFrame(
+        [(f"https://slow.example/u{i:02d}",) for i in range(6)]
+        + [(f"https://fast.example/u{i:02d}",) for i in range(6)]
+        + [(f"https://nodelay.example/u{i:02d}",) for i in range(6)],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("slow.example", 30.0),     # cap = floor(60/30) = 2
+         ("fast.example", 0.001),    # cap huge -> all in batch 0
+         ("huge.example", 120.0)],   # cap floored at 1 (unused host)
+        "host string, crawl_delay double",
+    )
+    out = politeness_schedule_with_delays(
+        frontier, delays, window_sec=60.0, default_per_batch=4)
+    rows = {(r.host, r.url): (r.cap, r.batch, r.slot)
+            for r in out.collect()}
+    slow = sorted(v for (h, _), v in rows.items() if h == "slow.example")
+    assert {c for c, _, _ in slow} == {2}
+    assert [b for _, b, _ in slow] == [0, 0, 1, 1, 2, 2]
+    fast = [v for (h, _), v in rows.items() if h == "fast.example"]
+    assert all(b == 0 for _, b, _ in fast)
+    nod = sorted(v for (h, _), v in rows.items() if h == "nodelay.example")
+    assert {c for c, _, _ in nod} == {4}
+    assert [b for _, b, _ in nod] == [0, 0, 0, 0, 1, 1]
