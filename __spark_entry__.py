@@ -1169,6 +1169,40 @@ def q_domain_cap(spark, sf_dir):
     return kept.select("domain", "doc_id").orderBy("domain", "doc_id")
 
 
+def q_url_tracking_dedup(spark, sf_dir):
+    """Tracking-param stripping for canonical-URL dedup: the same page
+    reached via newsletter/ad/social carries distinct utm_*/click-id
+    params; stripping them merges the recrawl duplicates real canonical-
+    ization misses. Fixture decorates canonicalized messy URLs with four
+    param mixes (utm+real, click-id only, real+trailing gclid, none);
+    output = the per-doc (raw, stripped) URL mapping. Oracle restates
+    the 4-step regexp chain verbatim (DuckDB needs the 'g' flag where
+    Spark replaces all by default) over the shared _CANON_EXPR."""
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir).select("doc_id", "url")
+    canon = U.canonical_url_col(F.col("url"))
+    mix = F.col("doc_id") % 4
+    decorated = F.concat(
+        canon,
+        F.when(mix == 0, F.concat(
+            F.lit("?utm_source=nl&id="),
+            (F.col("doc_id") % 50).cast("string")))
+        .when(mix == 1, F.concat(
+            F.lit("?fbclid=f"), F.col("doc_id").cast("string")))
+        .when(mix == 2, F.concat(
+            F.lit("?page="), (F.col("doc_id") % 50).cast("string"),
+            F.lit("&gclid=g")))
+        .otherwise(F.lit("")),
+    )
+    stripped = U.strip_tracking_params_col(decorated)
+    return pages.select(
+        "doc_id",
+        decorated.alias("url_raw"),
+        stripped.alias("url_stripped"),
+    ).orderBy("doc_id")
+
+
 def q_crawl_delay_schedule(spark, sf_dir):
     """Crawl-delay-aware politeness scheduling: per-host batch capacity
     derived from the robots fixture's Crawl-delay lines (first valid
@@ -2672,9 +2706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 26
-    # group-(1) entries the cap lands after cascade_extmap, so the
-    # r4-recorded tail (cascade_wide, cascade_heuristics,
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 27
+    # group-(1) entries the cap lands after exact_dedup, so the
+    # r4-recorded tail (cascade_extmap, cascade_wide, cascade_heuristics,
     # keep_reason_rollup, unknown_rollup, minsize_other, top_langs,
     # ccnet_buckets, cross_corpus_dedup, user_sessions ..
     # duplicated_spans) falls past the cap this round — all hash-green in
@@ -2686,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_signal": q_compression_signal,
         "corpus_card": q_corpus_card,
         "crawl_delay_schedule": q_crawl_delay_schedule,
+        "url_tracking_dedup": q_url_tracking_dedup,
         "unicode_normalize": q_unicode_normalize,
         "mojibake_filter": q_mojibake_filter,
         "domain_cap": q_domain_cap,
@@ -3045,6 +3080,37 @@ rparsed AS (
     ON s.domain = g.domain AND s.run_id = g.gov_run
   WHERE {kind_gate} AND s.star AND g.arg <> ''
 )"""
+
+
+def _url_tracking_oracle_sql() -> str:
+    from linguistjs_spark.operators.url_ops import TRACKING_PARAM_PAT
+
+    strip = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "url_raw, '^([^?]*)\\?', '\\1?&'), "
+        f"'&({TRACKING_PARAM_PAT})=[^&#]*', '', 'g'), "
+        "'\\?&', '?', 'g'), '\\?$', '')"
+    )
+    return f"""
+    WITH m AS ({_MESSY_URL_SQL}),
+    c AS (
+      SELECT doc_id, {_CANON_EXPR} AS url_canon FROM m
+    ),
+    d AS (
+      SELECT doc_id,
+             url_canon ||
+             (CASE doc_id % 4
+                WHEN 0 THEN '?utm_source=nl&id=' ||
+                            CAST(doc_id % 50 AS VARCHAR)
+                WHEN 1 THEN '?fbclid=f' || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN '?page=' || CAST(doc_id % 50 AS VARCHAR) ||
+                            '&gclid=g'
+                ELSE '' END) AS url_raw
+      FROM c
+    )
+    SELECT doc_id, url_raw, {strip} AS url_stripped
+    FROM d ORDER BY doc_id
+    """
 
 
 def _robots_crawl_delay_cte() -> str:
@@ -5009,6 +5075,7 @@ FROM p GROUP BY bucket
         "compression_signal": _compression_signal_oracle_sql(),
         "corpus_card": _corpus_card_oracle_sql(),
         "crawl_delay_schedule": _crawl_delay_schedule_oracle_sql(),
+        "url_tracking_dedup": _url_tracking_oracle_sql(),
         "unicode_normalize": _unicode_norm_oracle_sql(),
         "mojibake_filter": _mojibake_oracle_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,

@@ -433,3 +433,34 @@ def politeness_schedule_with_delays(
         (rn / F.col("cap")).cast("long").alias("batch"),
         (rn % F.col("cap")).cast("long").alias("slot"),
     )
+
+
+# Tracking/click-id query parameters every large crawl dedup strips: the
+# same page reached from a newsletter, an ad click, and a social share
+# carries distinct utm_*/click-id params but identical content, so
+# canonical-URL dedup under-merges without this. Conservative enumerated
+# list (never strip unknown params — they may select content).
+TRACKING_PARAM_PAT = (
+    r"utm_[A-Za-z0-9_]*|fbclid|gclid|dclid|msclkid|twclid|"
+    r"mc_cid|mc_eid|igshid|_ga|_gl|ref_src|spm"
+)
+
+
+def strip_tracking_params_col(url: Column) -> Column:
+    """Remove enumerated tracking params from the query string, native
+    regexp chain (restated verbatim in the DuckDB oracle):
+
+      1. the FIRST ``?`` -> ``?&`` (anchored pattern, so a literal ``?``
+         later in the query is untouched) — now every param, including
+         the first, is &-prefixed and one pattern removes any of them;
+      2. drop ``&(tracking)=value`` (value = ``[^&#]*`` — fragments are
+         already gone after canonicalization, but stay safe without it);
+      3. ``?&`` -> ``?`` undoes step 1;
+      4. a now-empty query (trailing ``?``) is dropped entirely.
+
+    Heuristic by design: a URL whose raw query legitimately starts with
+    ``?&`` loses that quirk — acceptable for dedup keys, documented."""
+    t = F.regexp_replace(url, r"^([^?]*)\?", "$1?&")
+    t = F.regexp_replace(t, r"&(" + TRACKING_PARAM_PAT + r")=[^&#]*", "")
+    t = F.regexp_replace(t, r"\?&", "?")
+    return F.regexp_replace(t, r"\?$", "")

@@ -392,3 +392,43 @@ def test_domain_cap_bounds_hot_domain_partitions(spark):
     # exact: the 3 latest-ts urls
     assert sorted(got) == sorted(
         f"https://hot.example/{i}" for i in (499, 498, 497))
+
+
+def test_strip_tracking_params_cases(spark):
+    from linguistjs_spark.operators.url_ops import strip_tracking_params_col
+
+    cases = [
+        # (input, expected)
+        ("https://e.x/p?utm_source=a&q=1", "https://e.x/p?q=1"),
+        ("https://e.x/p?q=1&utm_campaign=c", "https://e.x/p?q=1"),
+        ("https://e.x/p?utm_a=1&utm_b=2", "https://e.x/p"),
+        ("https://e.x/p?fbclid=abc", "https://e.x/p"),
+        ("https://e.x/p?q=1&gclid=g&r=2", "https://e.x/p?q=1&r=2"),
+        ("https://e.x/p?q=1", "https://e.x/p?q=1"),        # untouched
+        ("https://e.x/p", "https://e.x/p"),                # no query
+        ("https://e.x/p?utmx=1", "https://e.x/p?utmx=1"),  # not utm_*
+        ("https://e.x/p?sputm_a=1", "https://e.x/p?sputm_a=1"),  # mid-name
+        ("https://e.x/p?_ga=1.2&x=y", "https://e.x/p?x=y"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string")
+    got = {r.i: r.s for r in df.select(
+        "i", strip_tracking_params_col(F.col("u")).alias("s")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_strip_tracking_idempotent_and_merges_dups(spark):
+    from linguistjs_spark.operators.url_ops import strip_tracking_params_col
+
+    urls = [
+        "https://e.x/a?utm_source=nl", "https://e.x/a?utm_source=tw",
+        "https://e.x/a?fbclid=1", "https://e.x/a",
+        "https://e.x/b?q=1&utm_medium=m", "https://e.x/b?q=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    s = df.select(strip_tracking_params_col(F.col("u")).alias("s"))
+    assert s.distinct().count() == 2  # /a and /b?q=1
+    twice = s.select(strip_tracking_params_col(F.col("s")).alias("t"))
+    assert [r.t for r in twice.collect()] == [r.s for r in s.collect()]
