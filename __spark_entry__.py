@@ -1169,6 +1169,50 @@ def q_domain_cap(spark, sf_dir):
     return kept.select("domain", "doc_id").orderBy("domain", "doc_id")
 
 
+def q_crawl_frontier_priority(spark, sf_dir):
+    """Crawl-frontier prioritization — the capstone composition of the
+    crawl tiers in ONE job: per-domain Gopher keep rate (quality profile
+    over the messy-URL fixture) joined with the inbound-link profile
+    (real anchor extraction over the pagerank fixture's html), scored
+
+        priority = keep_bp * qd(ln(1 + inbound_src_domains))
+
+    (the retrieval module's 2^-20 dyadic ln quantization, so the product
+    is exact in both engines; floor to integer for the compare surface).
+    High-quality well-linked domains get recrawl budget first. Two
+    map-side-combined groupBys + one domain equi-join; text and html
+    never shuffle."""
+    from linguistjs_spark.operators import gopher as G
+    from linguistjs_spark.operators import link_graph as LG
+    from linguistjs_spark.operators.retrieval import _qd
+    import linguistjs_spark.operators.url_ops as U
+
+    pages = _messy_urls(spark, sf_dir)
+    keep = G.gopher_quality_drop_reason_col(F.col("text")).isNull()
+    q = (
+        pages.select(
+            U.domain_col(F.col("url")).alias("domain"), keep.alias("keep"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .withColumn("keep_bp", F.expr("10000 * n_keep div n_docs"))
+    )
+    links = LG.anchor_text_stats(
+        LG.extract_anchors(_pagerank_pages(spark, sf_dir)))
+    j = q.join(
+        links.select("domain", "n_src_domains"), "domain", "left"
+    ).withColumn(
+        "n_src", F.coalesce(F.col("n_src_domains"), F.lit(0)).cast("long"))
+    pr = F.col("keep_bp").cast("double") * _qd(
+        F.log(F.lit(1.0) + F.col("n_src").cast("double")))
+    return j.select(
+        "domain", "n_docs", "keep_bp", "n_src",
+        F.floor(pr).cast("long").alias("priority_i"),
+    ).orderBy(F.desc("priority_i"), "domain")
+
+
 def q_url_tracking_dedup(spark, sf_dir):
     """Tracking-param stripping for canonical-URL dedup: the same page
     reached via newsletter/ad/social carries distinct utm_*/click-id
@@ -2706,13 +2750,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 27
-    # group-(1) entries the cap lands after exact_dedup, so the
-    # r4-recorded tail (cascade_extmap, cascade_wide, cascade_heuristics,
-    # keep_reason_rollup, unknown_rollup, minsize_other, top_langs,
-    # ccnet_buckets, cross_corpus_dedup, user_sessions ..
-    # duplicated_spans) falls past the cap this round — all hash-green in
-    # CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 28
+    # group-(1) entries the cap lands after token_count_by_source, so the
+    # r4-recorded tail (exact_dedup, cascade_extmap, cascade_wide,
+    # cascade_heuristics, keep_reason_rollup, unknown_rollup,
+    # minsize_other, top_langs, ccnet_buckets, cross_corpus_dedup,
+    # user_sessions .. duplicated_spans) falls past the cap this round —
+    # all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
@@ -2721,6 +2765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "crawl_delay_schedule": q_crawl_delay_schedule,
         "url_tracking_dedup": q_url_tracking_dedup,
+        "crawl_frontier_priority": q_crawl_frontier_priority,
         "unicode_normalize": q_unicode_normalize,
         "mojibake_filter": q_mojibake_filter,
         "domain_cap": q_domain_cap,
@@ -3080,6 +3125,50 @@ rparsed AS (
     ON s.domain = g.domain AND s.run_id = g.gov_run
   WHERE {kind_gate} AND s.star AND g.arg <> ''
 )"""
+
+
+def _crawl_frontier_priority_oracle_sql() -> str:
+    dom = ("regexp_replace(lower(regexp_extract(url, "
+           "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':[0-9]*$', '')")
+    link_ctes = " UNION ALL ".join(
+        f"SELECT a.source AS s, b.source AS d FROM documents a "
+        f"CROSS JOIN nn JOIN documents b "
+        f"ON b.doc_id = (a.doc_id * a.doc_id * {q} "
+        f"+ a.doc_id * {m} + {c}) % nn.c"
+        for q, m, c in _PAGERANK_LINKS
+    )
+    return f"""
+    WITH m AS ({_MESSY_URL_SQL}),
+    g AS ({_gopher_quality_sql()}),
+    q AS (
+      SELECT {dom} AS domain, COUNT(*) AS n_docs,
+             SUM(CASE WHEN g.drop_reason IS NULL THEN 1 ELSE 0 END)
+                 AS n_keep
+      FROM m JOIN g USING (doc_id) GROUP BY 1
+    ),
+    qq AS (
+      SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(10000 * n_keep // n_docs AS BIGINT) AS keep_bp
+      FROM q
+    ),
+    nn AS (SELECT COUNT(*) AS c FROM documents),
+    links AS ({link_ctes}),
+    a AS (
+      SELECT lower(d) || '.example' AS domain,
+             COUNT(DISTINCT lower(s) || '.example') AS n_src_domains
+      FROM links GROUP BY 1
+    ),
+    j AS (
+      SELECT qq.domain, qq.n_docs, qq.keep_bp,
+             CAST(coalesce(a.n_src_domains, 0) AS BIGINT) AS n_src
+      FROM qq LEFT JOIN a USING (domain)
+    )
+    SELECT domain, n_docs, keep_bp, n_src,
+           CAST(floor(CAST(keep_bp AS DOUBLE) *
+                (round(ln(1.0 + CAST(n_src AS DOUBLE)) * 1048576.0)
+                 / 1048576.0)) AS BIGINT) AS priority_i
+    FROM j ORDER BY priority_i DESC, domain
+    """
 
 
 def _url_tracking_oracle_sql() -> str:
@@ -5076,6 +5165,7 @@ FROM p GROUP BY bucket
         "corpus_card": _corpus_card_oracle_sql(),
         "crawl_delay_schedule": _crawl_delay_schedule_oracle_sql(),
         "url_tracking_dedup": _url_tracking_oracle_sql(),
+        "crawl_frontier_priority": _crawl_frontier_priority_oracle_sql(),
         "unicode_normalize": _unicode_norm_oracle_sql(),
         "mojibake_filter": _mojibake_oracle_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
