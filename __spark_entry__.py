@@ -1272,6 +1272,58 @@ def q_crawl_delay_schedule(spark, sf_dir):
         "doc_id", "host", "cap", "batch", "slot").orderBy("doc_id")
 
 
+def _pii_planted_text():
+    """Shared fixture decoration for q_pii_counts: plant one PII instance
+    per residue class so every detector fires on a known subset."""
+    rid = F.col("doc_id")
+    plant = (
+        F.when(rid % 5 == 0, F.concat(
+            F.lit(" contact: user"), rid.cast("string"),
+            F.lit("@example.com")))
+        .when(rid % 5 == 1, F.concat(
+            F.lit(" from 10.0."), (rid % 200).cast("string"), F.lit(".7")))
+        .when(rid % 5 == 2, F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((rid % 10000).cast("string"), 4, "0")))
+        .when(rid % 5 == 3, F.lit(" card 4111 1111 1111 1111"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.col("text"), plant)
+
+
+def q_pii_counts(spark, sf_dir):
+    """Per-source PII exposure report — the observability side of the
+    scrub stage (release pipelines publish redaction-rate tables): match
+    counts per detector over the planted fixture, plus how many docs
+    carry ANY PII. Counts run each data/scrub.json pattern independently
+    over the raw text (the scrub chain is sequential; counts are the
+    detector-hit metric, not a replacement trace). Patterns are injected
+    into BOTH engines from the same config — single source of truth."""
+    from linguistjs_spark.operators.scrub import _java, load_scrub_config
+
+    rules = [r for r in load_scrub_config()["pii_rules"]
+             if r["name"] != "email_local_residue"]
+    t2 = _pii_planted_text()
+    docs = _docs(spark, sf_dir).select("source", t2.alias("t2"))
+    per_rule = [
+        F.regexp_count(F.col("t2"), F.lit(_java(r["pattern"])))
+        .alias(r["name"]) for r in rules
+    ]
+    scored = docs.select("source", *per_rule)
+    aggs = [F.sum(F.col(r["name"])).cast("long").alias(f"n_{r['name']}")
+            for r in rules]
+    any_pii = None
+    for r in rules:
+        c = F.col(r["name"]) > 0
+        any_pii = c if any_pii is None else (any_pii | c)
+    aggs.append(F.sum(any_pii.cast("long")).cast("long").alias("n_docs_pii"))
+    return (
+        scored.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"), *aggs)
+        .orderBy("source")
+    )
+
+
 def q_corpus_card(spark, sf_dir):
     """One-job per-language corpus data card (the summary table a corpus
     release ships): docs, bytes, whitespace tokens, exact-distinct texts
@@ -2750,13 +2802,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Consequence: no entry goes driver-unrecorded two rounds running; every
     # family has a green row in the union of the last two CORRECTNESS files.
     # Round 5 front-loads group (2) = the 17 entries past r4's cap
-    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 28
-    # group-(1) entries the cap lands after token_count_by_source, so the
-    # r4-recorded tail (exact_dedup, cascade_extmap, cascade_wide,
-    # cascade_heuristics, keep_reason_rollup, unknown_rollup,
-    # minsize_other, top_langs, ccnet_buckets, cross_corpus_dedup,
-    # user_sessions .. duplicated_spans) falls past the cap this round —
-    # all hash-green in CORRECTNESS_r04.
+    # (CORRECTNESS_r04 keys are the recorded set) plus group (1); with 29
+    # group-(1) entries the cap lands after scrub_pii, so the r4-recorded
+    # tail (token_count_by_source, exact_dedup, cascade_extmap,
+    # cascade_wide, cascade_heuristics, keep_reason_rollup,
+    # unknown_rollup, minsize_other, top_langs, ccnet_buckets,
+    # cross_corpus_dedup, user_sessions .. duplicated_spans) falls past
+    # the cap this round — all hash-green in CORRECTNESS_r04.
     return {
         # -- group (1): new in round 5, never driver-recorded --
         "snapshot_merge": q_snapshot_merge,
@@ -2766,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay_schedule": q_crawl_delay_schedule,
         "url_tracking_dedup": q_url_tracking_dedup,
         "crawl_frontier_priority": q_crawl_frontier_priority,
+        "pii_counts": q_pii_counts,
         "unicode_normalize": q_unicode_normalize,
         "mojibake_filter": q_mojibake_filter,
         "domain_cap": q_domain_cap,
@@ -3469,6 +3522,37 @@ def _lsh_ann_oracle_sql() -> str:
         "SELECT CAST(NULL AS BIGINT) vec_id, CAST(NULL AS DOUBLE) score_r "
         "WHERE FALSE",
     )
+
+
+def _pii_counts_oracle_sql() -> str:
+    from linguistjs_spark.operators.scrub import load_scrub_config
+
+    rules = [r for r in load_scrub_config()["pii_rules"]
+             if r["name"] != "email_local_residue"]
+    t2 = ("(text || (CASE "
+          "WHEN doc_id % 5 = 0 THEN ' contact: user' || "
+          "CAST(doc_id AS VARCHAR) || '@example.com' "
+          "WHEN doc_id % 5 = 1 THEN ' from 10.0.' || "
+          "CAST(doc_id % 200 AS VARCHAR) || '.7' "
+          "WHEN doc_id % 5 = 2 THEN ' ssn 123-45-' || "
+          "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+          "WHEN doc_id % 5 = 3 THEN ' card 4111 1111 1111 1111' "
+          "ELSE '' END))")
+    cnt_cols = ", ".join(
+        f"len(regexp_extract_all({t2}, '{_sql_quote(r['pattern'])}')) "
+        f"AS {r['name']}"
+        for r in rules
+    )
+    sums = ", ".join(
+        f"CAST(SUM({r['name']}) AS BIGINT) AS n_{r['name']}" for r in rules)
+    any_pii = " OR ".join(f"{r['name']} > 0" for r in rules)
+    return f"""
+    WITH s AS (SELECT source, {cnt_cols} FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, {sums},
+           CAST(SUM(CASE WHEN {any_pii} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_pii
+    FROM s GROUP BY source ORDER BY source
+    """
 
 
 def _corpus_card_oracle_sql() -> str:
@@ -5166,6 +5250,7 @@ FROM p GROUP BY bucket
         "crawl_delay_schedule": _crawl_delay_schedule_oracle_sql(),
         "url_tracking_dedup": _url_tracking_oracle_sql(),
         "crawl_frontier_priority": _crawl_frontier_priority_oracle_sql(),
+        "pii_counts": _pii_counts_oracle_sql(),
         "unicode_normalize": _unicode_norm_oracle_sql(),
         "mojibake_filter": _mojibake_oracle_sql(),
         "domain_cap": _DOMAIN_CAP_SQL,
