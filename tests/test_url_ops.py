@@ -432,3 +432,44 @@ def test_strip_tracking_idempotent_and_merges_dups(spark):
     assert s.distinct().count() == 2  # /a and /b?q=1
     twice = s.select(strip_tracking_params_col(F.col("s")).alias("t"))
     assert [r.t for r in twice.collect()] == [r.s for r in s.collect()]
+
+
+def test_strip_tracking_fuzz_vs_twin(spark):
+    """200 random URLs assembled from param/path pools vs an imperative
+    re-based twin of the same 4-step chain (first-'?' anchored rewrite,
+    enumerated removal, separator repair, empty-query drop)."""
+    import random
+    import re
+
+    from linguistjs_spark.operators.url_ops import (
+        TRACKING_PARAM_PAT, strip_tracking_params_col)
+
+    def twin(u):
+        if u is None:
+            return None
+        t = re.sub(r"^([^?]*)\?", r"\1?&", u)
+        t = re.sub(r"&(" + TRACKING_PARAM_PAT + r")=[^&#]*", "", t)
+        t = re.sub(r"\?&", "?", t)
+        return re.sub(r"\?$", "", t)
+
+    rng = random.Random(20260821)
+    params = ["utm_source=a", "utm_campaign=camp%20x", "q=1", "page=2",
+              "fbclid=IwAR123", "gclid=Cj0", "id=9", "utm_=e", "utmx=1",
+              "_ga=2.1.2", "ref_src=twsrc", "spm=a.b.c", "x=", "msclkid="]
+    urls = []
+    for _ in range(200):
+        base = rng.choice(["https://e.x/p", "http://E.x:80/a/b",
+                           "ftp://h/f", "no scheme here"])
+        n = rng.randrange(0, 5)
+        u = base
+        if n or rng.random() < 0.3:
+            u += "?" + "&".join(rng.choice(params) for _ in range(max(n, 1)))
+        urls.append(u)
+    urls += [None, "https://e.x/?utm_a=1", "https://e.x/p?a=b?c=d&utm_x=1"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string")
+    got = {r.i: r.s for r in df.select(
+        "i", strip_tracking_params_col(F.col("u")).alias("s")).collect()}
+    bad = [(urls[i], got[i], twin(urls[i]))
+           for i in range(len(urls)) if got[i] != twin(urls[i])]
+    assert bad == [], bad[:3]
