@@ -71,3 +71,38 @@ def test_normalize_plan_is_shuffle_free(spark):
     plan = (df.select(unicode_punct_norm_col(F.col("t")))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_normalize_fuzz_vs_python_twin(spark):
+    """150 random strings mixing every mapped codepoint with ASCII, CJK,
+    emoji, and combining marks vs a str.translate/re twin of the same
+    mapping constants — the twin and the Column chain share NORM_SRC/
+    NORM_DST, so a drift in either mapping breaks this test."""
+    import random
+    import re
+
+    from linguistjs_spark.operators.normalize import (
+        ELLIPSIS_PAT, NORM_DST, NORM_SRC, ZERO_WIDTH_PAT)
+
+    table = {ord(s): d for s, d in zip(NORM_SRC, NORM_DST)}
+
+    def twin(t):
+        if t is None:
+            return None
+        t = t.translate(table)
+        t = re.sub(ELLIPSIS_PAT, "...", t)
+        return re.sub(ZERO_WIDTH_PAT, "", t)
+
+    rng = random.Random(20260821)
+    pool = (list(NORM_SRC) + list("abc XY.12!?#&")
+            + ["…", "​", "­", "中", "日", "🎉", "é"])
+    texts = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+             for _ in range(150)]
+    texts += [None, ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r.i: r.n for r in df.select(
+        "i", unicode_punct_norm_col(F.col("t")).alias("n")).collect()}
+    bad = [(repr(texts[i]), repr(got[i]), repr(twin(texts[i])))
+           for i in range(len(texts)) if got[i] != twin(texts[i])]
+    assert bad == [], bad[:3]
